@@ -1,0 +1,90 @@
+"""PDF text-layer payload → ordered text blocks.
+
+A ``pdfish`` transcript payload is the JSON shape a pdfplumber-style miner
+emits (reference ``extern/pdftext.py:41-47``):
+
+    {"page": {"width": W, "height": H},
+     "words": [{"text": str, "x0": f, "top": f, "x1": f, "bottom": f}, ...]}
+
+The kernel replays the flagship pipeline's miner-only configuration
+(``analyzer/factory.py:1766-1776`` — no layout detector, so every word is a
+residual text container):
+
+1. out-of-page-bounds words are skipped (``pipe/text.py:132-137``: any
+   coordinate ≥ page width/height drops the word);
+2. boxes snap to ints with the reference's half-up/half-down construction
+   rounding (``box.py:268-276``);
+3. synthetic LINEs are built with sub-line splitting at ``paragraph_break``
+   (``TextLineGenerator``, ``order.py:389-524``);
+4. lines act as floating text blocks and get a reading order via
+   ``order_blocks`` (``order.py:201-330``);
+5. words are ordered within each line via ``group_words_into_lines``
+   (``order.py:72-132``).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from . import boxes as B
+from .assemble import Block
+from .normalize import clean_token
+from .reading_order import PARAGRAPH_BREAK, group_words_into_lines, order_blocks
+from .textlines import make_text_lines
+
+
+def parse_pdfish_payload(payload: str) -> tuple[list[str], np.ndarray, float, float]:
+    """Decode the JSON payload into (texts, abs boxes [N,4], width, height)."""
+    doc = json.loads(payload)
+    page = doc.get("page") or {}
+    width = float(page.get("width", 612.0))
+    height = float(page.get("height", 792.0))
+    words = doc.get("words") or []
+    texts: list[str] = []
+    raw: list[list[float]] = []
+    for w in words:
+        x0, top, x1, bottom = float(w["x0"]), float(w["top"]), float(w["x1"]), float(w["bottom"])
+        # page-bounds filter, pipe/text.py:132-137
+        if x0 >= width or top >= height or x1 >= width or bottom >= height:
+            continue
+        token = clean_token(str(w["text"]))
+        if not token:
+            continue
+        texts.append(token)
+        raw.append([x0, top, x1, bottom])
+    if not raw:
+        return [], np.empty((0, 4)), width, height
+    return texts, B.snap_abs(np.array(raw, dtype=np.float64)), width, height
+
+
+def blocks_from_words(
+    texts: list[str],
+    word_boxes: np.ndarray,
+    width: float,
+    height: float,
+    paragraph_break: float = PARAGRAPH_BREAK,
+) -> list[Block]:
+    """Words with geometry → reading-ordered blocks (steps 3–5 above)."""
+    if word_boxes.shape[0] == 0:
+        return []
+    lines = make_text_lines(word_boxes, width, height, True, paragraph_break)
+    line_boxes = np.stack([box for box, _ in lines])
+    line_order = order_blocks(B.to_relative(line_boxes, width, height))
+    blocks: list[Block] = []
+    for li in line_order:
+        box, members = lines[li]
+        member_arr = np.array(members, dtype=np.int64)
+        word_order = group_words_into_lines(word_boxes[member_arr])
+        ordered_words = [texts[member_arr[t[2]]] for t in word_order]
+        blocks.append(
+            Block(category="line", words=ordered_words, bbox=tuple(float(v) for v in box))
+        )
+    return blocks
+
+
+def extract_pdfish(payload: str, paragraph_break: float = PARAGRAPH_BREAK) -> list[Block]:
+    """Full pdfish path: JSON → filtered words → ordered blocks."""
+    texts, word_boxes, width, height = parse_pdfish_payload(payload)
+    return blocks_from_words(texts, word_boxes, width, height, paragraph_break)

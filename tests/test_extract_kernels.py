@@ -1,0 +1,101 @@
+"""HTML boilerplate stripping, pdfish layout parsing and turn assembly (F1/F2).
+
+The end-to-end expectation ``"hello world\\nbye world"`` mirrors the
+reference's ``Page.text`` for the two-block ordering fixture
+(``tests/pipe/conftest.py:202-247`` + ``view.py:1323-1336``).
+"""
+
+from __future__ import annotations
+
+import json
+
+from deepdoctection_ray.kernels.assemble import Block, assemble_turn
+from deepdoctection_ray.kernels.extract import classify_payload, extract_turn
+from deepdoctection_ray.kernels.html_blocks import parse_html_blocks
+
+
+def test_assemble_two_blocks_page_text():
+    blocks = [Block("title", ["hello", "world"]), Block("text", ["bye", "world"])]
+    text, spans = assemble_turn(blocks)
+    assert text == "hello world\nbye world"
+    assert [(s["start"], s["end"]) for s in spans] == [(0, 5), (6, 11), (12, 15), (16, 21)]
+    assert [text[s["start"] : s["end"]] for s in spans] == ["hello", "world", "bye", "world"]
+    assert [s["block_idx"] for s in spans] == [0, 0, 1, 1]
+    assert [s["reading_order"] for s in spans] == [1, 2, 1, 2]
+
+
+def test_classify_payload():
+    assert classify_payload("just words here") == "plain"
+    assert classify_payload("<html><p>x</p></html>") == "html"
+    assert classify_payload('{"page": {"width": 600}, "words": []}') == "pdfish"
+    assert classify_payload("") == "plain"
+    assert classify_payload("a < b and c > d") == "plain"
+
+
+def test_html_strips_nav_header_footer():
+    html = (
+        "<html><head><title>T</title><style>p{}</style></head><body>"
+        "<nav><a href='/'>Home</a> <a href='/x'>About</a></nav>"
+        "<header><h1>Site Name</h1></header>"
+        "<h1>Real Title</h1>"
+        "<p>Main content paragraph.</p>"
+        "<ul><li>item one</li><li>item two</li></ul>"
+        "<footer>© 2026 <a href='#'>imprint</a></footer>"
+        "</body></html>"
+    )
+    blocks = parse_html_blocks(html)
+    assert [(b.category, " ".join(b.words)) for b in blocks] == [
+        ("title", "Real Title"),
+        ("text", "Main content paragraph."),
+        ("list_item", "item one"),
+        ("list_item", "item two"),
+    ]
+
+
+def test_html_link_farm_dropped():
+    html = "<body><p><a>l1</a> <a>l2</a> <a>l3</a> x</p><p>real text here</p></body>"
+    blocks = parse_html_blocks(html)
+    assert [" ".join(b.words) for b in blocks] == ["real text here"]
+
+
+def test_html_container_direct_text():
+    html = "<div>intro words<p>inner para</p></div>"
+    blocks = parse_html_blocks(html)
+    assert [" ".join(b.words) for b in blocks] == ["intro words", "inner para"]
+
+
+def test_extract_turn_plain_matches_sql_normalization():
+    text = "  the \t fast\nkey   order "
+    out = extract_turn(text)
+    assert out["payload_kind"] == "plain"
+    assert out["extracted_text"] == "the fast key order"
+    assert out["error"] is None
+    assert [s["start"] for s in out["spans"]] == [0, 4, 9, 13]
+
+
+def test_extract_turn_pdfish_two_lines():
+    payload = json.dumps(
+        {
+            "page": {"width": 600, "height": 400},
+            "words": [
+                {"text": "bye", "x0": 100, "top": 320, "x1": 130, "bottom": 340},
+                {"text": "hello", "x0": 110, "top": 165, "x1": 130, "bottom": 180},
+                {"text": "world", "x0": 140, "top": 162, "x1": 180, "bottom": 180},
+                # gap 10px < paragraph_break (0.035 * 600 = 21px) keeps the line
+                {"text": "world", "x0": 140, "top": 320, "x1": 180, "bottom": 340},
+                # out of bounds → dropped (pipe/text.py:132-137)
+                {"text": "ghost", "x0": 600, "top": 10, "x1": 650, "bottom": 30},
+            ],
+        }
+    )
+    out = extract_turn(payload)
+    assert out["payload_kind"] == "pdfish"
+    assert out["extracted_text"] == "hello world\nbye world"
+    assert len(out["blocks"]) == 2
+    assert out["blocks"][0]["category"] == "line"
+
+
+def test_extract_turn_error_is_dead_letter():
+    out = extract_turn('{"words": [{"text": "a"}]}', kind="pdfish")  # missing coords
+    assert out["error"] is not None
+    assert out["extracted_text"] == ""
