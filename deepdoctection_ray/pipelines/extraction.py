@@ -1,0 +1,113 @@
+"""The flagship pipeline: transcripts parquet → extracted turns parquet.
+
+Shape (all streaming, one wide op):
+
+    read_parquet (pruned columns)
+      → map_batches(add part_id, filter finished partitions)     [stateless]
+      → map_batches(TurnExtractor, concurrency=N)                [actor pool]
+      → groupby(part_id).map_groups(sort by conv_id, turn_idx;
+                                    write partition + lineage)   [the shuffle]
+
+The single shuffle is keyed by ``part_id = crc32(conv_id) % P`` — the one
+partitioning key of the engine. In-group sorting restores stable turn order
+(the cross-record analog of the reference's ``TextOrderService``; the
+reference itself loses stream order under parallel maps, SURVEY.md §2.10, and
+re-establishes order per record only — here order is re-established per
+conversation by key, never by stream position). A conversation with millions
+of turns is bounded by its partition, and partition counts are uniform under
+the hash; P scales with the cluster (P ≈ 4-8x task slots).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..stages.extract import TurnExtractor, conv_partition_ids
+from .checkpoint import completed_partitions, write_partition
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def read_transcripts(path: str | list[str]) -> ray.data.Dataset:
+    """Pruned parquet read of a transcript table."""
+    return ray.data.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
+
+
+def extract_turns(
+    ds: ray.data.Dataset,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 1024,
+    keep_payload: bool = False,
+    **extractor_kwargs,
+) -> ray.data.Dataset:
+    """Apply the per-turn extraction actor pool; payload column is projected
+    away afterwards (wide rows never cross more stages than necessary)."""
+    if concurrency is None:
+        # autoscaling pool sized to the cluster, leaving headroom for the
+        # read and shuffle stages so the pipeline doesn't serialize
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (1, max(2, cpus - 2))
+    return ds.map_batches(
+        TurnExtractor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"keep_payload": keep_payload, **extractor_kwargs},
+    )
+
+
+def run_extraction(
+    input_path: str | list[str],
+    output_dir: str,
+    num_partitions: int = 32,
+    resume: bool = True,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 1024,
+) -> dict:
+    """Checkpointed end-to-end run; returns a summary dict.
+
+    A rerun after failure skips partitions that already have a success marker
+    (their input rows are dropped at the read stage, before extraction).
+    """
+    done = completed_partitions(output_dir) if resume else set()
+    done_list = sorted(done)
+
+    def tag_and_filter(batch: pa.Table) -> pa.Table:
+        part = conv_partition_ids(batch["conv_id"], num_partitions)
+        batch = batch.append_column("part_id", pa.array(part, pa.int32()))
+        if done_list:
+            mask = pc.invert(pc.is_in(batch["part_id"], value_set=pa.array(done_list, pa.int32())))
+            batch = batch.filter(mask)
+        return batch
+
+    ds = read_transcripts(input_path).map_batches(tag_and_filter, batch_format="pyarrow")
+    ds = extract_turns(ds, concurrency=concurrency, batch_size=batch_size)
+
+    def finish_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"part_id": pa.array([], pa.int32()), "n_rows": pa.array([], pa.int64()), "n_errors": pa.array([], pa.int64())})
+        part_id = int(group["part_id"][0].as_py())
+        ordered = group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        lineage = write_partition(output_dir, part_id, ordered)
+        return pa.table(
+            {
+                "part_id": pa.array([part_id], pa.int32()),
+                "n_rows": pa.array([lineage["n_rows"]], pa.int64()),
+                "n_errors": pa.array([lineage["n_errors"]], pa.int64()),
+            }
+        )
+
+    summary = ds.groupby("part_id").map_groups(finish_partition, batch_format="pyarrow")
+    rows = summary.take_all()  # small: one row per partition
+    return {
+        "partitions_written": len(rows),
+        "partitions_skipped": len(done),
+        "rows_written": int(sum(r["n_rows"] for r in rows)),
+        "errors": int(sum(r["n_errors"] for r in rows)),
+        "output_dir": output_dir,
+    }

@@ -1,0 +1,107 @@
+"""The extraction stage: Arrow batch in → Arrow batch out, one actor per slot.
+
+The Ray analog of the reference's component chain
+``ImageLayoutService → TextExtractionService → MatchingService →
+TextOrderService → PageParsingService`` collapsed into one per-turn kernel
+call (every reference component is a per-record map — SURVEY.md §2.3 — so the
+fusion is semantics-preserving and saves N object-store round trips per turn).
+
+Stateful pieces (the warm HTML parser, compiled regexes) live in the actor's
+``__init__`` — once per worker process, amortized over all batches.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels.extract import extract_turn
+from ..kernels.html_blocks import DEFAULT_MAX_LINK_DENSITY, _BlockCollector
+from ..kernels.reading_order import PARAGRAPH_BREAK
+
+SPAN_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("start", pa.int32()),
+            ("end", pa.int32()),
+            ("block_idx", pa.int32()),
+            ("category", pa.string()),
+            ("reading_order", pa.int32()),
+        ]
+    )
+)
+BLOCK_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("category", pa.string()),
+            ("reading_order", pa.int32()),
+            ("n_words", pa.int32()),
+        ]
+    )
+)
+
+
+def conv_partition_ids(conv_ids: pa.ChunkedArray | pa.Array, num_partitions: int) -> np.ndarray:
+    """Vectorized-ish stable partition id per row: crc32(conv_id) % P.
+
+    crc32 is a C single-call per row (~100ns); identical across processes and
+    runs (unlike ``hash()``), which is what resumable partitioning needs.
+    """
+    vals = conv_ids.to_pylist()
+    return np.fromiter(
+        (zlib.crc32(v.encode("utf-8")) % num_partitions for v in vals),
+        dtype=np.int32,
+        count=len(vals),
+    )
+
+
+class TurnExtractor:
+    """Actor-pool batch extractor.
+
+    Use as ``ds.map_batches(TurnExtractor, batch_format="pyarrow",
+    concurrency=N, batch_size=B, fn_constructor_kwargs=...)``.
+    """
+
+    def __init__(
+        self,
+        max_link_density: float = DEFAULT_MAX_LINK_DENSITY,
+        paragraph_break: float = PARAGRAPH_BREAK,
+        keep_payload: bool = False,
+        text_column: str = "text",
+    ) -> None:
+        self._parser = _BlockCollector()  # warm parser, reused across batches
+        self._mld = max_link_density
+        self._pb = paragraph_break
+        self._keep_payload = keep_payload
+        self._text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self._text_column).to_pylist()
+        extracted: list[str] = []
+        spans: list[list[dict]] = []
+        blocks: list[list[dict]] = []
+        kinds: list[str] = []
+        errors: list[str | None] = []
+        for text in texts:
+            res = extract_turn(
+                text if text is not None else "",
+                max_link_density=self._mld,
+                paragraph_break=self._pb,
+                html_parser=self._parser,
+            )
+            extracted.append(res["extracted_text"])
+            spans.append(res["spans"])
+            blocks.append(res["blocks"])
+            kinds.append(res["payload_kind"])
+            errors.append(res["error"])
+        out = batch
+        if not self._keep_payload:
+            out = out.drop_columns([self._text_column])  # payload never crosses the stage
+        out = out.append_column("extracted_text", pa.array(extracted, pa.string()))
+        out = out.append_column("spans", pa.array(spans, SPAN_TYPE))
+        out = out.append_column("blocks", pa.array(blocks, BLOCK_TYPE))
+        out = out.append_column("payload_kind", pa.array(kinds, pa.string()))
+        out = out.append_column("error", pa.array(errors, pa.string()))
+        return out

@@ -1,0 +1,226 @@
+"""Deterministic synthetic transcript tables (FIXTURES.md F1).
+
+One row per turn: ``conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp[us]``. Payload kinds per turn (derived from a
+per-(conv, turn) hash — no global RNG state, so generation is reproducible and
+parallelizable):
+
+- ``plain``  (~50%): words from a fixed vocabulary;
+- ``html``   (~30%): nav/header/footer/link-farm boilerplate wrapped around
+  1-4 main-content blocks;
+- ``pdfish`` (~20%): pdfplumber-shaped word records with page geometry,
+  occasionally including an out-of-page-bounds word and a second column
+  (exercising the paragraph-break splitter).
+
+Rows are written in a deterministically *shuffled* order so stable turn
+ordering must be restored by groupby(conv_id) + sort(turn_idx), never by
+input order. One "hot" conversation has ~100x the median turn count (the
+skew case for salted shuffles).
+
+The golden oracle for a row is ``kernels.extract.extract_turn`` run
+single-threaded — the same deterministic function the Ray stage applies per
+batch, independently verified against the reference implementation by the
+kernel test-suite.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .kernels.ids import stable_int
+
+VOCAB = (
+    "the fast key order sort table scan merge part window small hash join "
+    "batch stream spark ray data block shuffle actor pool arrow text title "
+    "page line word column row cell figure list content main body turn"
+).split()
+
+ROLES = ("user", "assistant", "tool")
+_BASE_TS = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def _rng(seed: int, *key) -> random.Random:
+    return random.Random(stable_int(f"{seed}/" + "/".join(str(k) for k in key)))
+
+
+def _words(rng: random.Random, lo: int, hi: int) -> list[str]:
+    return [rng.choice(VOCAB) for _ in range(rng.randint(lo, hi))]
+
+
+def _make_plain(rng: random.Random) -> str:
+    toks = _words(rng, 1, 40)
+    # sprinkle irregular whitespace so normalization is exercised
+    sep = [" ", "  ", "\t", "\n", " "]
+    return "".join(t + rng.choice(sep) for t in toks)
+
+
+def _make_html(rng: random.Random) -> str:
+    nav_links = " ".join(f'<a href="/p{i}">nav{i}</a>' for i in range(rng.randint(2, 5)))
+    parts = [
+        "<html><head><title>synthetic</title><style>p{margin:0}</style></head><body>",
+        f"<nav>{nav_links}</nav>",
+        "<header><h1>Site Header</h1></header>",
+    ]
+    n_blocks = rng.randint(1, 4)
+    for _ in range(n_blocks):
+        kind = rng.choice(["p", "h1", "ul"])
+        if kind == "p":
+            parts.append(f"<p>{' '.join(_words(rng, 4, 20))}</p>")
+        elif kind == "h1":
+            parts.append(f"<h1>{' '.join(_words(rng, 2, 6))}</h1>")
+        else:
+            items = "".join(f"<li>{' '.join(_words(rng, 2, 8))}</li>" for _ in range(rng.randint(2, 3)))
+            parts.append(f"<ul>{items}</ul>")
+    link_farm = " ".join(f'<a href="/x{i}">more{i}</a>' for i in range(rng.randint(3, 6)))
+    parts.append(f'<div>{link_farm}</div>')
+    parts.append(f"<footer>copyright <a href='/imprint'>imprint</a></footer>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def _make_pdfish(rng: random.Random) -> str:
+    width, height = 600, 400
+    words = []
+    two_cols = rng.random() < 0.3
+    n_lines = rng.randint(1, 5)
+    for li in range(n_lines):
+        y0 = 40.0 + 28.0 * li
+        x = 50.0
+        for _ in range(rng.randint(2, 6)):
+            t = rng.choice(VOCAB)
+            w = 8.0 * len(t)
+            words.append({"text": t, "x0": x, "top": y0, "x1": x + w, "bottom": y0 + 18.0})
+            x += w + 10.0
+        if two_cols:
+            x = 330.0
+            for _ in range(rng.randint(1, 4)):
+                t = rng.choice(VOCAB)
+                w = 8.0 * len(t)
+                words.append({"text": t, "x0": x, "top": y0, "x1": x + w, "bottom": y0 + 18.0})
+                x += w + 10.0
+    if rng.random() < 0.2:  # out-of-bounds word, must be filtered
+        words.append({"text": "ghost", "x0": 601.0, "top": 10.0, "x1": 640.0, "bottom": 28.0})
+    rng.shuffle(words)  # input order must not matter
+    return json.dumps({"page": {"width": width, "height": height}, "words": words})
+
+
+_KIND_BUILDERS = {"plain": _make_plain, "html": _make_html, "pdfish": _make_pdfish}
+_KIND_TOOL = {"plain": "", "html": "browser", "pdfish": "pdf_reader"}
+
+
+def turn_payload(seed: int, conv_i: int, turn_idx: int) -> tuple[str, str, str]:
+    """(kind, text, tool) for one turn — pure function of (seed, conv, turn)."""
+    rng = _rng(seed, "turn", conv_i, turn_idx)
+    r = rng.random()
+    kind = "plain" if r < 0.5 else ("html" if r < 0.8 else "pdfish")
+    return kind, _KIND_BUILDERS[kind](rng), _KIND_TOOL[kind]
+
+
+def conv_turn_count(seed: int, conv_i: int, hot_factor: int = 100) -> int:
+    if conv_i == 0 and hot_factor > 1:
+        return 7 * hot_factor
+    return _rng(seed, "len", conv_i).randint(2, 12)
+
+
+def make_transcripts(
+    n_convs: int = 200,
+    seed: int = 42,
+    hot_factor: int = 100,
+    shuffled: bool = True,
+) -> pa.Table:
+    """Build the full table in memory (test / small-bench scale)."""
+    conv_ids: list[str] = []
+    turn_idxs: list[int] = []
+    roles: list[str] = []
+    texts: list[str] = []
+    tools: list[str] = []
+    tss: list[dt.datetime] = []
+    for i in range(n_convs):
+        cid = f"conv-{i:06d}"
+        for t in range(conv_turn_count(seed, i, hot_factor)):
+            kind, text, tool = turn_payload(seed, i, t)
+            conv_ids.append(cid)
+            turn_idxs.append(t)
+            roles.append(ROLES[t % 3])
+            texts.append(text)
+            tools.append(tool)
+            tss.append(_BASE_TS + dt.timedelta(hours=i, seconds=30 * t))
+    n = len(conv_ids)
+    if shuffled:
+        order = sorted(range(n), key=lambda k: stable_int(f"{seed}/shuffle/{conv_ids[k]}/{turn_idxs[k]}"))
+    else:
+        order = list(range(n))
+    return pa.table(
+        {
+            "conv_id": pa.array([conv_ids[k] for k in order], pa.string()),
+            "turn_idx": pa.array([turn_idxs[k] for k in order], pa.int32()),
+            "role": pa.array([roles[k] for k in order], pa.string()),
+            "text": pa.array([texts[k] for k in order], pa.string()),
+            "tool": pa.array([tools[k] for k in order], pa.string()),
+            "ts": pa.array([tss[k] for k in order], pa.timestamp("us")),
+        },
+        schema=SCHEMA,
+    )
+
+
+def write_transcripts(
+    path: str,
+    n_convs: int = 200,
+    seed: int = 42,
+    hot_factor: int = 100,
+    rows_per_file: int = 250_000,
+) -> str:
+    """Write (and cache) a transcript table as a directory of parquet files.
+
+    Re-uses an existing directory when the parameters match (a ``_meta.json``
+    marker records them), so bench runs pay generation cost once.
+    """
+    meta = {"n_convs": n_convs, "seed": seed, "hot_factor": hot_factor, "v": 2}
+    meta_path = os.path.join(path, "_meta.json")
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as fh:
+                if json.load(fh) == meta:
+                    return path
+        except Exception:
+            pass
+    os.makedirs(path, exist_ok=True)
+    table = make_transcripts(n_convs, seed, hot_factor)
+    for i in range(0, max(table.num_rows, 1), rows_per_file):
+        pq.write_table(table.slice(i, rows_per_file), os.path.join(path, f"chunk-{i:010d}.parquet"))
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    return path
+
+
+def oracle_extract(table: pa.Table) -> list[dict]:
+    """Single-threaded pure-python golden extraction of a transcript table,
+    sorted by (conv_id, turn_idx) — the comparison target for pipeline tests."""
+    from .kernels.extract import extract_turn
+
+    rows = sorted(
+        zip(table["conv_id"].to_pylist(), table["turn_idx"].to_pylist(), table["text"].to_pylist())
+    )
+    out = []
+    for cid, tix, text in rows:
+        res = extract_turn(text)
+        out.append({"conv_id": cid, "turn_idx": tix, **res})
+    return out

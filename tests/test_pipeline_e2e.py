@@ -1,0 +1,109 @@
+"""End-to-end pipeline tests: Ray extraction output equals the single-threaded
+pure-python oracle row for row (per-turn text equality under stable turn
+ordering), and a resumed run only touches unfinished partitions (F6)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from deepdoctection_ray.pipelines.checkpoint import (
+    completed_partitions,
+    read_lineage,
+)
+from deepdoctection_ray.synth import make_transcripts, oracle_extract, write_transcripts
+
+
+@pytest.fixture(scope="module")
+def small_transcripts(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("transcripts"))
+    write_transcripts(path, n_convs=40, seed=42, hot_factor=10)
+    return path
+
+
+def _read_output(output_dir: str):
+    files = sorted(
+        os.path.join(output_dir, f) for f in os.listdir(output_dir) if f.endswith(".parquet")
+    )
+    tables = [pq.read_table(f) for f in files]
+    import pyarrow as pa
+
+    return pa.concat_tables(tables)
+
+
+def test_extraction_matches_oracle(ray_session, small_transcripts, tmp_path):
+    from deepdoctection_ray.pipelines.extraction import run_extraction
+
+    out_dir = str(tmp_path / "out")
+    summary = run_extraction(small_transcripts, out_dir, num_partitions=8, batch_size=128)
+    table = _read_output(out_dir)
+
+    golden = oracle_extract(make_transcripts(n_convs=40, seed=42, hot_factor=10))
+    assert summary["rows_written"] == len(golden)
+    assert summary["errors"] == 0
+
+    got = sorted(
+        zip(
+            table["conv_id"].to_pylist(),
+            table["turn_idx"].to_pylist(),
+            table["extracted_text"].to_pylist(),
+            table["payload_kind"].to_pylist(),
+        )
+    )
+    exp = [(g["conv_id"], g["turn_idx"], g["extracted_text"], g["payload_kind"]) for g in golden]
+    assert got == exp  # per-turn text equality, all payload kinds
+
+    # spans index into the extracted text correctly
+    for row_spans, row_text in zip(table["spans"].to_pylist(), table["extracted_text"].to_pylist()):
+        for s in row_spans:
+            token = row_text[s["start"] : s["end"]]
+            assert token and " " not in token and "\n" not in token
+
+
+def test_partition_files_sorted_within(ray_session, small_transcripts, tmp_path):
+    from deepdoctection_ray.pipelines.extraction import run_extraction
+
+    out_dir = str(tmp_path / "out_sorted")
+    run_extraction(small_transcripts, out_dir, num_partitions=4, batch_size=64)
+    for f in sorted(os.listdir(out_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(out_dir, f))
+        keys = list(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()))
+        assert keys == sorted(keys)  # stable turn ordering inside every partition
+
+
+def test_resume_skips_completed_partitions(ray_session, small_transcripts, tmp_path):
+    from deepdoctection_ray.pipelines.extraction import run_extraction
+
+    full_dir = str(tmp_path / "full")
+    run_extraction(small_transcripts, full_dir, num_partitions=8)
+    full = _read_output(full_dir)
+
+    # simulate a crashed run: copy 3 finished partitions + markers, drop the rest
+    resumed_dir = str(tmp_path / "resumed")
+    os.makedirs(resumed_dir)
+    import shutil
+
+    for i in (0, 3, 5):
+        for pat in (f"part-{i:05d}.parquet", f"part-{i:05d}.lineage.json", f"_SUCCESS.{i:05d}"):
+            src = os.path.join(full_dir, pat)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(resumed_dir, pat))
+    pre_done = completed_partitions(resumed_dir)
+
+    summary = run_extraction(small_transcripts, resumed_dir, num_partitions=8, resume=True)
+    assert summary["partitions_skipped"] == len(pre_done)
+    resumed = _read_output(resumed_dir)
+
+    # final corpus equals the from-scratch run row-for-row
+    key = lambda t: sorted(
+        zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(), t["extracted_text"].to_pylist())
+    )
+    assert key(resumed) == key(full)
+
+    lineage = read_lineage(resumed_dir)
+    assert sum(l["n_rows"] for l in lineage) == full.num_rows
+    assert all("engine_version" in l for l in lineage)
