@@ -1,0 +1,114 @@
+"""Sources / sinks (SURVEY.md §2.1) as thin Ray Data wrappers.
+
+Each function names the serializer it replaces in
+``dd_core/src/dd_core/dataflow/custom_serialize.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyarrow as pa
+
+import ray.data
+
+
+def read_jsonl(path: str | Sequence[str], max_datapoints: int | None = None) -> ray.data.Dataset:
+    """``SerializerJsonlines.load`` (``custom_serialize.py:127-162``)."""
+    ds = ray.data.read_json(path)
+    return ds.limit(max_datapoints) if max_datapoints else ds
+
+
+def write_jsonl(ds: ray.data.Dataset, path: str) -> None:
+    """``SerializerJsonlines.save`` (``custom_serialize.py:164-184``)."""
+    ds.write_json(path)
+
+
+def read_tabsep(path: str | Sequence[str], max_datapoints: int | None = None) -> ray.data.Dataset:
+    """``SerializerTabsepFiles.load`` (``custom_serialize.py:187-222``):
+    one record per text line."""
+    ds = ray.data.read_text(path)
+    return ds.limit(max_datapoints) if max_datapoints else ds
+
+
+def read_files(
+    path: str | Sequence[str],
+    file_extensions: Sequence[str] | None = None,
+    max_datapoints: int | None = None,
+    shuffle: bool = False,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """``SerializerFiles.load`` (``custom_serialize.py:244-320``): recursive
+    binary file walk with extension filter; deterministic listing replaces the
+    sort flag, ``random_shuffle`` the shuffle flag."""
+    ds = ray.data.read_binary_files(path, include_paths=True, file_extensions=list(file_extensions) if file_extensions else None)
+    if shuffle:
+        ds = ds.random_shuffle(seed=seed)
+    return ds.limit(max_datapoints) if max_datapoints else ds
+
+
+def read_coco(path: str) -> ray.data.Dataset:
+    """``SerializerCoco.load`` (``custom_serialize.py:562-631``): COCO json →
+    one record per image with its annotation list attached.
+
+    The reference does an in-memory hash join image←annotations
+    (``custom_serialize.py:349-375``); here the join is a
+    ``groupby(image_id).map_groups`` over an exploded annotation dataset,
+    with the (small) image table broadcast into the group mapper.
+    """
+    import json
+
+    import ray
+
+    with open(path) as fh:
+        doc = json.load(fh)
+    images = {img["id"]: img for img in doc.get("images", [])}
+    img_ref = ray.put(images)
+    anns = doc.get("annotations", [])
+    if not anns:
+        return ray.data.from_items(
+            [{"image": img, "annotations": []} for img in images.values()]
+        )
+    ann_ds = ray.data.from_items(anns)
+
+    def assemble(group: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        imgs = _ray.get(img_ref)
+        image_id = group["image_id"][0].as_py()
+        return pa.Table.from_pylist(
+            [{"image": imgs.get(image_id), "annotations": group.to_pylist()}]
+        )
+
+    return ann_ds.groupby("image_id").map_groups(assemble, batch_format="pyarrow")
+
+
+def split_pdf_pages(row: dict) -> list[dict]:
+    """``SerializerPdfDoc.load`` mapper (``custom_serialize.py:620-717``):
+    one binary pdf → per-page records.
+
+    STUB: a real page splitter needs a pdf library absent from this
+    environment. The contract is honored for the synthetic container format
+    ``b"%PAGE%"``-joined page payloads — enough to test the
+    ``read_binary_files → flat_map`` plumbing; swap in pypdfium2 splitting
+    when available.
+    """
+    data: bytes = row["bytes"]
+    path = row.get("path", "")
+    pages = data.split(b"%PAGE%") if b"%PAGE%" in data else [data]
+    return [
+        {
+            "path": path,
+            "file_name": path.rsplit("/", 1)[-1],
+            "pdf_bytes": page,
+            "page_number": i,
+            "document_id": path,
+        }
+        for i, page in enumerate(pages)
+    ]
+
+
+def read_pdf(path: str | Sequence[str]) -> ray.data.Dataset:
+    """``SerializerPdfDoc.load`` (``custom_serialize.py:658-717``):
+    binary read → per-page flat_map; page bytes stay in the row."""
+    return ray.data.read_binary_files(path, include_paths=True).flat_map(split_pdf_pages)

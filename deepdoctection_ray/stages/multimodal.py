@@ -1,0 +1,125 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The reference carries pixel arrays / pdf bytes inside each record and attaches
+and drops them around heavy stages (``maybe_load_image`` /
+``maybe_remove_image``, ``mapper/misc.py:110-141``). The Ray translation:
+
+- media travel as a ``binary`` column plus a ``media_meta`` struct
+  (mime/width/height/duration);
+- decode / feature-extract / resize / frame-sample are ACTOR-POOL
+  ``map_batches`` stages with small ``batch_size`` (payloads are wide);
+- the binary column is projected away the moment the consuming stage is done.
+
+The image/audio codecs are NOT in this container, so the codec call is stubbed
+(STUB: raises ``NotImplementedError`` unless ``fake=True``, which produces a
+deterministic synthetic decode). The Ray-side plumbing — schema, actor
+signature, batch sizing, output layout — is real and tested.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_META_TYPE = pa.struct(
+    [
+        ("mime", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def make_media_table(n: int, seed: int = 5, kind: str = "image") -> pa.Table:
+    """Deterministic synthetic media rows for tests (binary payload + meta)."""
+    rng = np.random.RandomState(seed)
+    payloads, metas, ids = [], [], []
+    for i in range(n):
+        w, h = int(rng.randint(8, 64)), int(rng.randint(8, 64))
+        payloads.append(rng.randint(0, 256, size=w * h, dtype=np.uint8).tobytes())
+        metas.append({"mime": f"{kind}/x-raw", "width": w, "height": h, "duration_ms": 0})
+        ids.append(i)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_meta": pa.array(metas, MEDIA_META_TYPE),
+        }
+    )
+
+
+class ImageDecoder:
+    """Actor-pool decode stage.
+
+    ``fake=False`` → STUB: raises ``NotImplementedError`` (no codec libs in
+    this environment). ``fake=True`` → deterministic fake decode: payload
+    bytes reshaped to (height, width) uint8 via the meta struct.
+    """
+
+    def __init__(self, fake: bool = False) -> None:
+        self._fake = fake
+
+    def _decode(self, payload: bytes, meta: dict) -> np.ndarray:
+        if not self._fake:
+            raise NotImplementedError(
+                "STUB: image codec not available in this environment; "
+                "run with fake=True or plug a real decoder here"
+            )
+        w, h = meta["width"], meta["height"]
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        return arr[: w * h].reshape(h, w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = batch["media_meta"].to_pylist()
+        feats = []
+        for payload, meta in zip(batch["payload"].to_pylist(), metas):
+            img = self._decode(payload, meta)
+            feats.append(
+                {
+                    "mean": round(float(img.mean()), 6),
+                    "std": round(float(img.std()), 6),
+                    "n_pixels": int(img.size),
+                }
+            )
+        out = batch.drop_columns(["payload"])  # binary never crosses this stage
+        return out.append_column(
+            "features",
+            pa.array(
+                feats,
+                pa.struct([("mean", pa.float64()), ("std", pa.float64()), ("n_pixels", pa.int64())]),
+            ),
+        )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage for video-like payloads.
+
+    Deterministic stride sampling over the byte stream (codec STUBbed the same
+    way); emits one row per sampled frame — the ``flat_map`` explode shape.
+    """
+
+    def __init__(self, num_frames: int = 4, fake: bool = False) -> None:
+        self._n = num_frames
+        self._fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self._fake:
+            raise NotImplementedError("STUB: video codec not available; use fake=True")
+        ids, frame_nos, checksums = [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            n = max(len(payload) // self._n, 1)
+            for f in range(self._n):
+                chunk = payload[f * n : (f + 1) * n]
+                if not chunk:
+                    break
+                ids.append(mid)
+                frame_nos.append(f)
+                checksums.append(int(np.frombuffer(chunk, dtype=np.uint8).sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_no": pa.array(frame_nos, pa.int32()),
+                "checksum": pa.array(checksums, pa.int64()),
+            }
+        )

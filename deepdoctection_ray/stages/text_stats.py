@@ -1,0 +1,136 @@
+"""Text-analysis stages over a document/turn text column.
+
+Vectorized with ``pyarrow.compute`` RE2 kernels wherever a kernel exists
+(token/punct counts run in C over the whole batch); the language-ID heuristic
+is a per-row loop over pre-compiled token sets, hosted in an actor so the
+tables compile once per worker.
+
+DuckDB-oracle notes: duckdb's ``regexp_*`` is also RE2, so token and punct
+counts are bit-identical between the Ray stage and the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..kernels.ids import md5_hex
+
+TOKEN_RE = r"[A-Za-z0-9]+"
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+# a BPE-ish word splitter: word pieces, numbers, or single non-space symbols
+BPEISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Append ``n_tokens`` (alnum runs) and ``n_pieces`` (BPE-ish pieces)."""
+    col = batch[text_column]
+    batch = batch.append_column(
+        "n_tokens", pc.cast(pc.count_substring_regex(col, TOKEN_RE), pa.int64())
+    )
+    batch = batch.append_column(
+        "n_pieces", pc.cast(pc.count_substring_regex(col, BPEISH_RE), pa.int64())
+    )
+    return batch
+
+
+def quality_stats(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Quality-scoring features: length, token count, punct count/ratio,
+    mean token length. All expressible in ANSI SQL for the oracle."""
+    col = batch[text_column]
+    n_chars = pc.cast(pc.utf8_length(col), pa.int64())
+    n_tokens = pc.cast(pc.count_substring_regex(col, TOKEN_RE), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(col, PUNCT_RE), pa.int64())
+    denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+    punct_ratio = pc.round(
+        pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(denom, pa.float64())), ndigits=6
+    )
+    batch = batch.append_column("n_chars_text", n_chars)
+    batch = batch.append_column("n_tokens", n_tokens)
+    batch = batch.append_column("n_punct", n_punct)
+    batch = batch.append_column("punct_ratio", punct_ratio)
+    return batch
+
+
+def fingerprint(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Append ``fingerprint`` = md5 of the whitespace-normalized text.
+
+    Content-hash document identity (the ``annotation_id`` uuid3 idea,
+    ``identifier.py:53-77``, applied at document granularity); the SQL oracle
+    is ``md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))``.
+    """
+    texts = batch[text_column].to_pylist()
+    fps = [md5_hex(" ".join((t or "").split())) for t in texts]
+    return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+_ROLL_BASE = np.uint64(1099511628211)
+
+
+def rolling_fingerprint(batch: pa.Table, text_column: str = "text", window: int = 8) -> pa.Table:
+    """FNV-style rolling-hash document fingerprint: min-of-window hashes over
+    the token stream (a winnowing-lite sketch; robust to local edits)."""
+    texts = batch[text_column].to_pylist()
+    out = []
+    for t in texts:
+        toks = (t or "").split()
+        if not toks:
+            out.append("0" * 16)
+            continue
+        hs = np.fromiter(
+            (int.from_bytes(tok.encode("utf-8")[:8].ljust(8, b"\0"), "big") for tok in toks),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        acc = hs.copy()
+        for shift in range(1, min(window, len(hs))):
+            acc[:-shift] = acc[:-shift] * _ROLL_BASE + hs[shift:]
+        out.append(f"{int(acc.min()):016x}")
+    return batch.append_column("rolling_fp", pa.array(out, pa.string()))
+
+
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "on"},
+    "es": {"el", "la", "de", "que", "y", "en", "los", "del", "se", "las", "por", "un"},
+    "de": {"der", "die", "und", "das", "von", "zu", "mit", "den", "im", "ist", "des", "ein"},
+    "fr": {"le", "la", "les", "de", "des", "et", "en", "un", "une", "du", "que", "est"},
+}
+
+
+class LanguageId:
+    """n-gram/stopword language-ID heuristic as an actor-pool stage.
+
+    The Ray analog of ``LanguageDetectionService`` (``pipe/language.py:34-134``)
+    with the HF model swapped for a deterministic stopword scorer (no model
+    weights in this environment). Ties break alphabetically — deterministic.
+    """
+
+    def __init__(self, text_column: str = "text") -> None:
+        self._text_column = text_column
+        self._word_re = re.compile(r"[a-zA-Z]+")
+        self._tables = {lang: frozenset(words) for lang, words in STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self._text_column].to_pylist()
+        langs: list[str] = []
+        scores: list[float] = []
+        for t in texts:
+            toks = [w.lower() for w in self._word_re.findall(t or "")]
+            if not toks:
+                langs.append("und")
+                scores.append(0.0)
+                continue
+            best_lang, best = "und", 0.0
+            for lang in sorted(self._tables):
+                hits = sum(1 for w in toks if w in self._tables[lang])
+                score = hits / len(toks)
+                if score > best:
+                    best_lang, best = lang, score
+            langs.append(best_lang if best > 0 else "und")
+            scores.append(round(best, 6))
+        batch = batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        batch = batch.append_column("lang_score", pa.array(scores, pa.float64()))
+        return batch
