@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: the flagship extraction pipeline (read → actor-pool extract →
+partition shuffle → checkpointed parquet write) over a deterministic synthetic
+transcript corpus (~200k turns). Also times a representative query set over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+``--scaling`` re-runs the headline in two fresh processes (8 and 32 CPUs by
+default) and reports both throughputs plus scaling efficiency — the sandbox
+stand-in for the N vs 4N node cluster criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import uuid
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "140000"))  # ≈ 1M turns
+BENCH_DIR = f"/tmp/ddray_transcripts_bench_{BENCH_CONVS}"
+
+QUERY_NAMES = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q_events_sessionize",
+    "q_dedup_exact",
+    "q_doc_fingerprint",
+    "q_knn_cosine",
+    "q_extract_documents",
+    "q_dedup_minhash",
+]
+
+
+def _consume(result) -> int:
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.count()
+    if isinstance(result, (pa.Table, pd.DataFrame)):
+        return len(result)
+    return 0
+
+
+def run_bench() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    try:
+        from deepdoctection_ray.pipelines.extraction import run_extraction
+        from deepdoctection_ray.queries import build_queries
+        from deepdoctection_ray.synth import write_transcripts
+
+        # generate/cache the bench corpus (untimed; also warms the page cache)
+        t0 = time.perf_counter()
+        write_transcripts(BENCH_DIR, n_convs=BENCH_CONVS, seed=42, hot_factor=100)
+        gen_sec = time.perf_counter() - t0
+
+        import pyarrow.dataset as pads
+
+        n_turns = pads.dataset(
+            [os.path.join(BENCH_DIR, f) for f in os.listdir(BENCH_DIR) if f.endswith(".parquet")]
+        ).count_rows()
+
+        out_dir = f"/tmp/ddray_bench_out_{uuid.uuid4().hex}"
+        t0 = time.perf_counter()
+        summary = run_extraction(
+            BENCH_DIR,
+            out_dir,
+            num_partitions=max(NUM_CPUS * 2, 16),
+            resume=False,
+            batch_size=1024,
+        )
+        headline_sec = time.perf_counter() - t0
+        assert summary["rows_written"] == n_turns, summary
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+        queries = build_queries()
+        q_times: dict[str, float] = {}
+        for name in QUERY_NAMES:
+            t0 = time.perf_counter()
+            _consume(queries[name](SF_DIR))
+            q_times[name] = round(time.perf_counter() - t0, 3)
+
+        return {
+            "metric": "extraction_pipeline_sec",
+            "value": round(headline_sec, 3),
+            "unit": "sec",
+            "queries": q_times,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "n_turns": int(n_turns),
+            "turns_per_sec": round(n_turns / headline_sec, 1),
+            "corpus_gen_sec": round(gen_sec, 3),
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": r_lo["turns_per_sec"],
+        "turns_per_sec_hi": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        if os.environ.get("GRAFT_SKIP_QUERIES"):
+            QUERY_NAMES = []
+        print(json.dumps(run_bench()))

@@ -26,37 +26,46 @@ class Block:
     meta: dict = field(default_factory=dict)
 
 
-def assemble_turn(blocks: list[Block]) -> tuple[str, list[dict]]:
+def assemble_turn(blocks: list[Block]) -> tuple[str, dict[str, list]]:
     """Join ordered blocks into the turn's extracted text and span records.
 
     Args:
         blocks: blocks already in reading order, words already ordered.
 
     Returns:
-        ``(text, spans)`` where spans is a list of dicts with keys
+        ``(text, spans)`` where spans holds five parallel lists —
         ``start, end, block_idx, category, reading_order`` (reading_order is
         the 1-based word position within its block, matching the reference's
-        per-word READING_ORDER sub-category).
+        per-word READING_ORDER sub-category). Parallel lists instead of
+        per-span dicts: the Ray stage assembles them into Arrow struct arrays
+        without touching a python dict per word.
     """
     parts: list[str] = []
-    spans: list[dict] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    block_idxs: list[int] = []
+    categories: list[str] = []
+    orders: list[int] = []
     offset = 0
     for b_idx, block in enumerate(blocks):
         if b_idx > 0:
             offset += 1  # the "\n" separator
+        cat = block.category
         for w_idx, word in enumerate(block.words):
             if w_idx > 0:
                 offset += 1  # the " " separator
             end = offset + len(word)
-            spans.append(
-                {
-                    "start": offset,
-                    "end": end,
-                    "block_idx": b_idx,
-                    "category": block.category,
-                    "reading_order": w_idx + 1,
-                }
-            )
+            starts.append(offset)
+            ends.append(end)
+            block_idxs.append(b_idx)
+            categories.append(cat)
+            orders.append(w_idx + 1)
             offset = end
         parts.append(" ".join(block.words))
-    return "\n".join(parts), spans
+    return "\n".join(parts), {
+        "start": starts,
+        "end": ends,
+        "block_idx": block_idxs,
+        "category": categories,
+        "reading_order": orders,
+    }

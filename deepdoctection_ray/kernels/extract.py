@@ -64,22 +64,19 @@ def extract_turn(
         return {
             "extracted_text": extracted,
             "spans": spans,
-            "blocks": [
-                {
-                    "category": b.category,
-                    "reading_order": i + 1,
-                    "n_words": len(b.words),
-                }
-                for i, b in enumerate(blocks)
-            ],
+            "blocks": {
+                "category": [b.category for b in blocks],
+                "reading_order": list(range(1, len(blocks) + 1)),
+                "n_words": [len(b.words) for b in blocks],
+            },
             "payload_kind": k,
             "error": None,
         }
     except Exception as exc:  # dead-letter, never fail the batch
         return {
             "extracted_text": "",
-            "spans": [],
-            "blocks": [],
+            "spans": {"start": [], "end": [], "block_idx": [], "category": [], "reading_order": []},
+            "blocks": {"category": [], "reading_order": [], "n_words": []},
             "payload_kind": k,
             "error": f"{type(exc).__name__}: {exc}",
         }

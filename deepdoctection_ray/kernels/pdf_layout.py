@@ -69,15 +69,15 @@ def blocks_from_words(
     """Words with geometry → reading-ordered blocks (steps 3–5 above)."""
     if word_boxes.shape[0] == 0:
         return []
+    box_list = word_boxes.tolist()
     lines = make_text_lines(word_boxes, width, height, True, paragraph_break)
     line_boxes = np.stack([box for box, _ in lines])
     line_order = order_blocks(B.to_relative(line_boxes, width, height))
     blocks: list[Block] = []
     for li in line_order:
         box, members = lines[li]
-        member_arr = np.array(members, dtype=np.int64)
-        word_order = group_words_into_lines(word_boxes[member_arr])
-        ordered_words = [texts[member_arr[t[2]]] for t in word_order]
+        word_order = group_words_into_lines([box_list[m] for m in members])
+        ordered_words = [texts[members[t[2]]] for t in word_order]
         blocks.append(
             Block(category="line", words=ordered_words, bbox=tuple(float(v) for v in box))
         )

@@ -16,6 +16,8 @@ any annotation objects.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from . import boxes as B
@@ -42,21 +44,25 @@ def group_words_into_lines(word_boxes: np.ndarray, absolute: bool = True) -> lis
         reproduces the reference's ``number_rows - original_row_index``
         numbering, and ``word_index`` indexes into ``word_boxes``.
     """
-    n = word_boxes.shape[0]
+    n = word_boxes.shape[0] if hasattr(word_boxes, "shape") else len(word_boxes)
     if n == 0:
         return []
+    # plain-python floats in the hot loop: per-element numpy indexing costs
+    # ~1µs/access, which dominates for the typical 5-50-word turn
+    boxes = word_boxes.tolist() if hasattr(word_boxes, "tolist") else list(word_boxes)
     assigned: list[tuple[int, int, float]] = []  # (row_idx, word_idx, cx)
     rows: list[tuple[float, float]] = []  # (upper, lower), frozen at creation
+    floor = math.floor
     for i in range(n):
-        ulx, uly, lrx, lry = word_boxes[i]
+        ulx, uly, lrx, lry = boxes[i]
         cx = (ulx + lrx) / 2.0
         cy = (uly + lry) / 2.0
         if absolute:
             # BoundingBox.cx/.cy round half-up to ints for absolute coords
             # (box.py:423-434); the row-membership comparisons see the
             # rounded centers
-            cx = float(np.floor(cx + 0.5))
-            cy = float(np.floor(cy + 0.5))
+            cx = float(floor(cx + 0.5))
+            cy = float(floor(cy + 0.5))
         placed = False
         for r, (upper, lower) in enumerate(rows):
             row_cy = (upper + lower) / 2.0
@@ -169,15 +175,16 @@ def order_blocks(
     n = block_boxes_rel.shape[0]
     if n == 0:
         return []
-    cx = (block_boxes_rel[:, 0] + block_boxes_rel[:, 2]) / 2.0
-    cy = (block_boxes_rel[:, 1] + block_boxes_rel[:, 3]) / 2.0
+    rel = block_boxes_rel.tolist()  # python floats: fast scalar access
+    cx = [(b[0] + b[2]) / 2.0 for b in rel]
+    cy = [(b[1] + b[3]) / 2.0 for b in rel]
     scan = sorted(range(n), key=lambda i: (cy[i], cx[i]))  # order.py:231-236
 
     # greedy column building (order.py:237-291)
     block_to_col: list[tuple[int, int]] = []  # (column_idx, block_idx)
     columns: list[list[float]] = []  # mutable [ulx, uly, lrx, lry]
     for i in scan:
-        bx0, by0, bx1, by1 = block_boxes_rel[i]
+        bx0, by0, bx1, by1 = rel[i]
         height = by1 - by0
         placed = False
         for c, col in enumerate(columns):
@@ -230,9 +237,8 @@ def order_blocks(
         # within a column: sort by 2-decimal-rounded (uly, ulx); candidates kept
         # in the cy/cx scan order first, as the reference filters the scan-sorted
         # ann list (order.py:351-371)
-        group_in_scan_order = [i for i in scan if i in set(group)]
-        group_in_scan_order.sort(
-            key=lambda i: (round(block_boxes_rel[i, 1], 2), round(block_boxes_rel[i, 0], 2))
-        )
+        group_set = set(group)
+        group_in_scan_order = [i for i in scan if i in group_set]
+        group_in_scan_order.sort(key=lambda i: (round(rel[i][1], 2), round(rel[i][0], 2)))
         ordered.extend(group_in_scan_order)
     return ordered

@@ -3,20 +3,35 @@
 Mirrors the reference's ``TextLineGenerator`` (``pipe/order.py:389-524``): rows
 of words become LINE records; when ``make_sub_lines`` is on, a horizontal gap
 wider than ``paragraph_break`` (relative coords) splits a row into sub-lines,
-which is how a multi-column layout is detected from bare word boxes.
+which is how a multi-column structure is detected from bare word boxes.
 
 This is the path a turn takes when its payload has word geometry but no
 detected layout blocks (the pdfminer/OCR-only configuration of the flagship
 pipeline, ``analyzer/factory.py:1766-1776``): every word is "residual", lines
 are synthesized, and the lines act as the floating text blocks.
+
+Hot loops run on plain python floats (lists), not numpy rows — the typical
+turn has 5-50 words, where per-element ndarray indexing would dominate.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from . import boxes as B
 from .reading_order import PARAGRAPH_BREAK, group_words_into_lines
+
+
+def _merge_list(boxes: list[list[float]], members: list[int]) -> np.ndarray:
+    """Smallest box containing the member boxes (``box.py:757-773``)."""
+    return np.array(
+        [
+            min(boxes[i][0] for i in members),
+            min(boxes[i][1] for i in members),
+            max(boxes[i][2] for i in members),
+            max(boxes[i][3] for i in members),
+        ],
+        dtype=np.float64,
+    )
 
 
 def make_text_lines(
@@ -25,7 +40,6 @@ def make_text_lines(
     height: float,
     make_sub_lines: bool = True,
     paragraph_break: float = PARAGRAPH_BREAK,
-    _highest_level: bool = True,
 ) -> list[tuple[np.ndarray, list[int]]]:
     """Build synthetic lines from word boxes — ``order.py:423-524``.
 
@@ -38,50 +52,58 @@ def make_text_lines(
         member indices index into ``word_boxes`` and are ulx-sorted within a
         row segment.
     """
-    n = word_boxes.shape[0]
-    if n == 0:
+    boxes = word_boxes.tolist() if hasattr(word_boxes, "tolist") else list(word_boxes)
+    if not boxes:
         return []
-    order = group_words_into_lines(word_boxes)
+    return _lines_rec(boxes, list(range(len(boxes))), width, make_sub_lines, paragraph_break, True)
+
+
+def _lines_rec(
+    boxes: list[list[float]],
+    subset: list[int],
+    width: float,
+    make_sub_lines: bool,
+    paragraph_break: float,
+    highest_level: bool,
+) -> list[tuple[np.ndarray, list[int]]]:
+    order = group_words_into_lines([boxes[i] for i in subset])
     n_rows = max(t[1] for t in order)
-    if n_rows == 1 and not _highest_level:
+    if n_rows == 1 and not highest_level:
         return []  # order.py:456-457: single-row recursion → caller merges
 
     out: list[tuple[np.ndarray, list[int]]] = []
     for row_no in range(1, n_rows + 1):
-        members = [t[2] for t in order if t[1] == row_no]
-        members.sort(key=lambda i: word_boxes[i, 0])  # order.py:464
+        members = [subset[t[2]] for t in order if t[1] == row_no]
+        members.sort(key=lambda i: boxes[i][0])  # order.py:464
 
         if len(members) < 2 or not make_sub_lines:
-            out.append((B.merge(word_boxes[members]), members))
+            out.append((_merge_list(boxes, members), members))
             continue
 
         segment: list[int] = []
+        last = len(members) - 1
         for pos, i in enumerate(members):
             if pos == 0:
                 segment = [i]
+                if last == 0:
+                    break  # single member handled above; unreachable, guard only
                 continue
-            prev = word_boxes[members[pos - 1]]
-            cur = word_boxes[i]
-            gap = cur[0] / width - prev[2] / width  # relative-coordinate gap
+            gap = boxes[i][0] / width - boxes[members[pos - 1]][2] / width
             if gap < paragraph_break:
                 segment.append(i)
             else:
-                nested = make_text_lines(
-                    word_boxes[segment], width, height, make_sub_lines, paragraph_break, False
-                )
+                nested = _lines_rec(boxes, segment, width, make_sub_lines, paragraph_break, False)
                 if nested:
-                    # a sub-line that itself spans rows: keep nested splits,
-                    # remapping local indices (order.py:499-503)
-                    out.extend((box, [segment[k] for k in mem]) for box, mem in nested)
+                    # a sub-line that itself spans rows keeps its nested split
+                    # (order.py:499-503)
+                    out.extend(nested)
                 else:
-                    out.append((B.merge(word_boxes[segment]), segment))
+                    out.append((_merge_list(boxes, segment), segment))
                     segment = [i]
-            if pos == len(members) - 1:
-                nested = make_text_lines(
-                    word_boxes[segment], width, height, make_sub_lines, paragraph_break, False
-                )
+            if pos == last:
+                nested = _lines_rec(boxes, segment, width, make_sub_lines, paragraph_break, False)
                 if nested:
-                    out.extend((box, [segment[k] for k in mem]) for box, mem in nested)
+                    out.extend(nested)
                 else:
-                    out.append((B.merge(word_boxes[segment]), segment))
+                    out.append((_merge_list(boxes, segment), segment))
     return out

@@ -45,9 +45,30 @@ def completed_partitions(output_dir: str) -> set[int]:
     return done
 
 
+def clear_output(output_dir: str) -> None:
+    """Remove all partition files/lineage/markers (clean-slate rerun)."""
+    if not os.path.isdir(output_dir):
+        return
+    for name in os.listdir(output_dir):
+        if name.startswith(("part-", "_SUCCESS.", ".tmp-")):
+            os.remove(os.path.join(output_dir, name))
+
+
 def write_partition(output_dir: str, part_id: int, table: pa.Table, extra_lineage: dict | None = None) -> dict:
-    """Atomically write one partition + lineage + marker; returns the lineage."""
+    """Atomically write one partition + lineage + marker; returns the lineage.
+
+    Refuses to re-finalize a partition whose success marker already exists:
+    inside one run that means a partition's rows arrived in two different
+    writer tasks (an input block split — size ``num_partitions`` so a
+    partition stays under ``target_max_block_size``), which would silently
+    drop rows if allowed. Crash leftovers carry no marker and overwrite fine.
+    """
     os.makedirs(output_dir, exist_ok=True)
+    if os.path.exists(os.path.join(output_dir, MARKER_FMT.format(i=part_id))):
+        raise RuntimeError(
+            f"partition {part_id} already finalized in {output_dir}; "
+            "duplicate write detected (block split or dirty output dir)"
+        )
     tmp = os.path.join(output_dir, f".tmp-{part_id}-{uuid.uuid4().hex}")
     pq.write_table(table, tmp)
     os.replace(tmp, os.path.join(output_dir, PART_FMT.format(i=part_id)))

@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..stages.extract import TurnExtractor, conv_partition_ids
-from .checkpoint import completed_partitions, write_partition
+from .checkpoint import clear_output, completed_partitions, write_partition
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
@@ -61,20 +61,71 @@ def extract_turns(
     )
 
 
+class _ExtractAndWritePartitions:
+    """Fused per-partition finisher: sort → extract → write → summary row.
+
+    Receives whole shuffle-partition blocks (``batch_size=None``) of INPUT
+    rows. The expensive nested output columns (spans/blocks) are produced
+    AFTER the shuffle and go straight to parquet — they never cross the
+    object store. One block may carry several complete hash partitions
+    (hash-shuffle routing guarantees a part_id never splits across blocks);
+    each is sliced out, sorted and written atomically.
+    """
+
+    def __init__(self, output_dir: str, **extractor_kwargs) -> None:
+        self._out = output_dir
+        self._extract = TurnExtractor(keep_payload=False, **extractor_kwargs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        summaries = []
+        if batch.num_rows:
+            ordered = batch.sort_by(
+                [("part_id", "ascending"), ("conv_id", "ascending"), ("turn_idx", "ascending")]
+            )
+            part_col = ordered["part_id"].to_numpy()
+            import numpy as np
+
+            starts = [0] + (np.nonzero(np.diff(part_col))[0] + 1).tolist() + [len(part_col)]
+            for s, e in zip(starts[:-1], starts[1:]):
+                chunk = ordered.slice(s, e - s)
+                extracted = self._extract(chunk.combine_chunks())
+                lineage = write_partition(self._out, int(part_col[s]), extracted)
+                summaries.append(
+                    (int(part_col[s]), lineage["n_rows"], lineage["n_errors"])
+                )
+        return pa.table(
+            {
+                "part_id": pa.array([s[0] for s in summaries], pa.int32()),
+                "n_rows": pa.array([s[1] for s in summaries], pa.int64()),
+                "n_errors": pa.array([s[2] for s in summaries], pa.int64()),
+            }
+        )
+
+
 def run_extraction(
     input_path: str | list[str],
     output_dir: str,
     num_partitions: int = 32,
     resume: bool = True,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 1024,
+    batch_size: int = 8192,
 ) -> dict:
     """Checkpointed end-to-end run; returns a summary dict.
 
+    Stage shape: read → tag/filter (stateless) → hash-shuffle the FLAT input
+    rows by part_id → fused actor stage per partition (sort, extract, write,
+    lineage). Shuffling before extraction keeps the exchange payload to the
+    input columns (flat strings — cheap to slice/serialize); the nested
+    span/block columns are born next to the parquet writer.
+
     A rerun after failure skips partitions that already have a success marker
-    (their input rows are dropped at the read stage, before extraction).
+    (their input rows are dropped at the read stage, before any work).
     """
-    done = completed_partitions(output_dir) if resume else set()
+    if resume:
+        done = completed_partitions(output_dir)
+    else:
+        clear_output(output_dir)
+        done = set()
     done_list = sorted(done)
 
     def tag_and_filter(batch: pa.Table) -> pa.Table:
@@ -85,24 +136,21 @@ def run_extraction(
             batch = batch.filter(mask)
         return batch
 
-    ds = read_transcripts(input_path).map_batches(tag_and_filter, batch_format="pyarrow")
-    ds = extract_turns(ds, concurrency=concurrency, batch_size=batch_size)
+    if concurrency is None:
+        import ray
 
-    def finish_partition(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return pa.table({"part_id": pa.array([], pa.int32()), "n_rows": pa.array([], pa.int64()), "n_errors": pa.array([], pa.int64())})
-        part_id = int(group["part_id"][0].as_py())
-        ordered = group.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-        lineage = write_partition(output_dir, part_id, ordered)
-        return pa.table(
-            {
-                "part_id": pa.array([part_id], pa.int32()),
-                "n_rows": pa.array([lineage["n_rows"]], pa.int64()),
-                "n_errors": pa.array([lineage["n_errors"]], pa.int64()),
-            }
-        )
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (1, max(2, cpus - 2))
 
-    summary = ds.groupby("part_id").map_groups(finish_partition, batch_format="pyarrow")
+    ds = read_transcripts(input_path).map_batches(
+        tag_and_filter, batch_format="pyarrow", batch_size=batch_size
+    )
+    summary = ds.groupby("part_id", num_partitions=num_partitions).map_groups(
+        _ExtractAndWritePartitions,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_kwargs={"output_dir": output_dir},
+    )
     rows = summary.take_all()  # small: one row per partition
     return {
         "partitions_written": len(rows),

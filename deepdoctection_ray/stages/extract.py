@@ -80,10 +80,20 @@ class TurnExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self._text_column).to_pylist()
         extracted: list[str] = []
-        spans: list[list[dict]] = []
-        blocks: list[list[dict]] = []
         kinds: list[str] = []
         errors: list[str | None] = []
+        # flat accumulators + offsets → Arrow list<struct> built via
+        # from_arrays (no per-span python dict crosses into Arrow)
+        s_start: list[int] = []
+        s_end: list[int] = []
+        s_block: list[int] = []
+        s_cat: list[str] = []
+        s_order: list[int] = []
+        s_offsets: list[int] = [0]
+        b_cat: list[str] = []
+        b_order: list[int] = []
+        b_words: list[int] = []
+        b_offsets: list[int] = [0]
         for text in texts:
             res = extract_turn(
                 text if text is not None else "",
@@ -92,16 +102,48 @@ class TurnExtractor:
                 html_parser=self._parser,
             )
             extracted.append(res["extracted_text"])
-            spans.append(res["spans"])
-            blocks.append(res["blocks"])
             kinds.append(res["payload_kind"])
             errors.append(res["error"])
+            sp = res["spans"]
+            s_start.extend(sp["start"])
+            s_end.extend(sp["end"])
+            s_block.extend(sp["block_idx"])
+            s_cat.extend(sp["category"])
+            s_order.extend(sp["reading_order"])
+            s_offsets.append(len(s_start))
+            bl = res["blocks"]
+            b_cat.extend(bl["category"])
+            b_order.extend(bl["reading_order"])
+            b_words.extend(bl["n_words"])
+            b_offsets.append(len(b_cat))
+
+        span_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(s_start, pa.int32()),
+                pa.array(s_end, pa.int32()),
+                pa.array(s_block, pa.int32()),
+                pa.array(s_cat, pa.string()),
+                pa.array(s_order, pa.int32()),
+            ],
+            fields=list(SPAN_TYPE.value_type),
+        )
+        spans_arr = pa.ListArray.from_arrays(pa.array(s_offsets, pa.int32()), span_struct)
+        block_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(b_cat, pa.string()),
+                pa.array(b_order, pa.int32()),
+                pa.array(b_words, pa.int32()),
+            ],
+            fields=list(BLOCK_TYPE.value_type),
+        )
+        blocks_arr = pa.ListArray.from_arrays(pa.array(b_offsets, pa.int32()), block_struct)
+
         out = batch
         if not self._keep_payload:
             out = out.drop_columns([self._text_column])  # payload never crosses the stage
         out = out.append_column("extracted_text", pa.array(extracted, pa.string()))
-        out = out.append_column("spans", pa.array(spans, SPAN_TYPE))
-        out = out.append_column("blocks", pa.array(blocks, BLOCK_TYPE))
+        out = out.append_column("spans", spans_arr)
+        out = out.append_column("blocks", blocks_arr)
         out = out.append_column("payload_kind", pa.array(kinds, pa.string()))
         out = out.append_column("error", pa.array(errors, pa.string()))
         return out

@@ -1,0 +1,112 @@
+"""Dedup and similarity operators: planted duplicates must be found; the LSH
+ANN must agree with brute force on easy (high-margin) neighbors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    import ray.data
+
+    base = "the quick brown fox jumps over the lazy dog again and again".split()
+    rows = []
+    rng = np.random.RandomState(3)
+    for i in range(30):
+        words = [base[j % len(base)] for j in rng.permutation(40)]
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    # planted exact dup and near dup (one word changed out of 40)
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    near = rows[1]["text"].split()
+    near[5] = "sideways"
+    rows.append({"doc_id": 101, "text": " ".join(near)})
+    return ray.data.from_items(rows)
+
+
+def test_dedup_exact_finds_planted(ray_session, docs_with_dups):
+    from deepdoctection_ray.stages.dedup import dedup_exact
+
+    out = dedup_exact(docs_with_dups).to_pandas()
+    dup_groups = out[out["n_dups"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups.iloc[0]["doc_id"] == 0  # first-wins: smallest id survives
+    assert dup_groups.iloc[0]["n_dups"] == 2
+    assert out["n_dups"].sum() == 32
+
+
+def test_dedup_minhash_finds_near_dup(ray_session, docs_with_dups):
+    from deepdoctection_ray.stages.dedup import dedup_minhash
+
+    pairs = dedup_minhash(docs_with_dups, threshold=0.7).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 100) in found  # exact dup: jaccard 1.0
+    assert (1, 101) in found  # near dup
+    assert (pairs["jaccard"] >= 0.7).all()
+
+
+def test_dedup_simhash_finds_near_dup(ray_session, docs_with_dups):
+    from deepdoctection_ray.stages.dedup import dedup_simhash
+
+    pairs = dedup_simhash(docs_with_dups, max_hamming=6).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 100) in found
+    assert pairs[(pairs["id_a"] == 0) & (pairs["id_b"] == 100)]["hamming"].iloc[0] == 0
+
+
+@pytest.fixture(scope="module")
+def clustered_embeddings(ray_session):
+    import ray.data
+
+    rng = np.random.RandomState(9)
+    centers = rng.standard_normal((5, 16)) * 4
+    rows = []
+    for i in range(200):
+        c = i % 5
+        v = centers[c] + rng.standard_normal(16) * 0.2
+        rows.append({"vec_id": i, "embedding": v.astype(np.float32).tolist(), "label": c})
+    return ray.data.from_items(rows)
+
+
+def test_knn_brute_exact(ray_session, clustered_embeddings):
+    from deepdoctection_ray.stages.similarity import knn_brute
+
+    out = knn_brute(clustered_embeddings, query_ids=[0], k=5).to_pandas()
+    assert len(out) == 5
+    # same-cluster vectors (ids ≡ 0 mod 5) dominate the neighborhood
+    assert all(v % 5 == 0 for v in out["vec_id"])
+    assert out["cosine"].is_monotonic_decreasing
+    # cross-check against a local numpy brute force
+    rows = clustered_embeddings.take_all()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = unit[ids.index(0)]
+    cos = unit @ q
+    expected = sorted(
+        ((c, i) for i, c in zip(ids, cos) if i != 0), key=lambda t: (-t[0], t[1])
+    )[:5]
+    assert out["vec_id"].tolist() == [i for _, i in expected]
+
+
+def test_knn_lsh_recall(ray_session, clustered_embeddings):
+    from deepdoctection_ray.stages.similarity import knn_brute, knn_lsh
+
+    brute = knn_brute(clustered_embeddings, query_ids=[0, 1], k=5).to_pandas()
+    approx = knn_lsh(clustered_embeddings, query_ids=[0, 1], k=5, planes=4).to_pandas()
+    for qid in (0, 1):
+        b = set(brute[brute["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        assert len(a & b) / len(b) >= 0.6  # clustered data: probing finds most
+
+
+def test_dedup_embedding_cosine(ray_session, clustered_embeddings):
+    from deepdoctection_ray.stages.dedup import dedup_embedding_cosine
+
+    pairs = dedup_embedding_cosine(clustered_embeddings, threshold=0.99).to_pandas()
+    assert len(pairs) > 0
+    assert (pairs["cosine"] >= 0.99).all()
+    # near-dup pairs must come from the same cluster
+    assert ((pairs["id_a"] % 5) == (pairs["id_b"] % 5)).all()

@@ -18,10 +18,10 @@ def test_assemble_two_blocks_page_text():
     blocks = [Block("title", ["hello", "world"]), Block("text", ["bye", "world"])]
     text, spans = assemble_turn(blocks)
     assert text == "hello world\nbye world"
-    assert [(s["start"], s["end"]) for s in spans] == [(0, 5), (6, 11), (12, 15), (16, 21)]
-    assert [text[s["start"] : s["end"]] for s in spans] == ["hello", "world", "bye", "world"]
-    assert [s["block_idx"] for s in spans] == [0, 0, 1, 1]
-    assert [s["reading_order"] for s in spans] == [1, 2, 1, 2]
+    assert list(zip(spans["start"], spans["end"])) == [(0, 5), (6, 11), (12, 15), (16, 21)]
+    assert [text[s:e] for s, e in zip(spans["start"], spans["end"])] == ["hello", "world", "bye", "world"]
+    assert spans["block_idx"] == [0, 0, 1, 1]
+    assert spans["reading_order"] == [1, 2, 1, 2]
 
 
 def test_classify_payload():
@@ -70,7 +70,7 @@ def test_extract_turn_plain_matches_sql_normalization():
     assert out["payload_kind"] == "plain"
     assert out["extracted_text"] == "the fast key order"
     assert out["error"] is None
-    assert [s["start"] for s in out["spans"]] == [0, 4, 9, 13]
+    assert out["spans"]["start"] == [0, 4, 9, 13]
 
 
 def test_extract_turn_pdfish_two_lines():
@@ -91,8 +91,8 @@ def test_extract_turn_pdfish_two_lines():
     out = extract_turn(payload)
     assert out["payload_kind"] == "pdfish"
     assert out["extracted_text"] == "hello world\nbye world"
-    assert len(out["blocks"]) == 2
-    assert out["blocks"][0]["category"] == "line"
+    assert out["blocks"]["category"] == ["line", "line"]
+    assert out["blocks"]["n_words"] == [2, 2]
 
 
 def test_extract_turn_error_is_dead_letter():

@@ -1,0 +1,133 @@
+"""Text stats, metrics, combinators, multimodal plumbing, category ops."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_language_id_heuristic():
+    from deepdoctection_ray.stages.text_stats import LanguageId
+
+    stage = LanguageId()
+    batch = pa.table(
+        {
+            "text": [
+                "the cat and the dog sat on the mat in the sun",
+                "el perro y el gato en la casa de la playa",
+                "der Hund und die Katze sind mit dem Ball im Garten",
+                "xyzzy plugh",
+            ]
+        }
+    )
+    out = stage(batch)
+    assert out["lang_pred"].to_pylist() == ["en", "es", "de", "und"]
+
+
+def test_quality_and_token_stats_vectorized():
+    from deepdoctection_ray.stages.text_stats import quality_stats, token_stats
+
+    batch = pa.table({"text": ["Hello, world! 42", ""]})
+    q = quality_stats(batch)
+    assert q["n_tokens"].to_pylist() == [3, 0]
+    assert q["n_punct"].to_pylist() == [2, 0]
+    assert q["n_chars_text"].to_pylist() == [16, 0]
+    t = token_stats(batch)
+    assert t["n_pieces"].to_pylist() == [5, 0]  # Hello , world ! 42
+
+
+def test_metrics_prf1(ray_session):
+    import ray.data
+
+    from deepdoctection_ray.functions.metrics import accuracy, precision_recall_f1
+
+    ds = ray.data.from_items(
+        [{"gt": "a", "pred": "a"}, {"gt": "a", "pred": "b"}, {"gt": "b", "pred": "b"}, {"gt": "b", "pred": "b"}]
+    )
+    assert accuracy(ds) == 0.75
+    prf = precision_recall_f1(ds)
+    assert prf["a"]["precision"] == 1.0
+    assert prf["a"]["recall"] == 0.5
+    assert prf["b"]["recall"] == 1.0
+
+
+def test_combinators(ray_session):
+    import ray.data
+
+    from deepdoctection_ray.functions.combinators import (
+        concat_data,
+        from_list,
+        join_data,
+        map_data,
+    )
+
+    a = from_list([{"x": 1}, {"x": 2}, {"x": 3}], max_datapoints=2)
+    assert a.count() == 2
+    b = concat_data(from_list([{"x": 1}]), from_list([{"x": 2}]))
+    assert sorted(r["x"] for r in b.take_all()) == [1, 2]
+    z = join_data(from_list([{"x": 1}, {"x": 2}]), from_list([{"y": 3}, {"y": 4}]))
+    assert {tuple(sorted(r.items())) for r in z.take_all()} == {(("x", 1), ("y", 3)), (("x", 2), ("y", 4))}
+    m = map_data(from_list([{"x": 1}, {"x": 2}, {"x": 3}]), lambda r: {"x": r["x"] * 10} if r["x"] != 2 else None)
+    assert sorted(r["x"] for r in m.take_all()) == [10, 30]
+
+
+def test_multimodal_stub_plumbing(ray_session):
+    import ray.data
+
+    from deepdoctection_ray.stages.multimodal import FrameSampler, ImageDecoder, make_media_table
+
+    table = make_media_table(8, seed=5)
+    ds = ray.data.from_arrow(table)
+    out = ds.map_batches(
+        ImageDecoder, batch_format="pyarrow", concurrency=2, batch_size=4,
+        fn_constructor_kwargs={"fake": True},
+    ).to_pandas()
+    assert len(out) == 8
+    assert "payload" not in out.columns  # binary projected away
+    assert all(f["n_pixels"] > 0 for f in out["features"])
+
+    frames = ds.map_batches(
+        FrameSampler, batch_format="pyarrow", concurrency=2, batch_size=4,
+        fn_constructor_kwargs={"fake": True, "num_frames": 3},
+    ).to_pandas()
+    assert set(frames["frame_no"]) == {0, 1, 2}
+    assert len(frames) == 24
+
+    # real decode path is an explicit stub
+    with pytest.raises((NotImplementedError, Exception)):
+        ImageDecoder(fake=False)(table.slice(0, 1))
+
+
+def test_category_ops(ray_session):
+    import ray.data
+
+    from deepdoctection_ray.functions.cats import (
+        block_category_histogram,
+        filter_block_categories,
+        remap_categories,
+    )
+
+    rows = [
+        {
+            "id": 0,
+            "blocks": [
+                {"category": "title", "reading_order": 1, "n_words": 2},
+                {"category": "text", "reading_order": 2, "n_words": 5},
+                {"category": "list_item", "reading_order": 3, "n_words": 3},
+            ],
+        },
+        {"id": 1, "blocks": [{"category": "text", "reading_order": 1, "n_words": 1}]},
+    ]
+    ds = ray.data.from_items(rows)
+    filtered = filter_block_categories(ds, ["text"]).take_all()
+    by_id = {r["id"]: r["blocks"] for r in filtered}
+    assert [b["category"] for b in by_id[0]] == ["text"]
+    assert by_id[0][0]["reading_order"] == 1  # re-densified
+
+    remapped = remap_categories(ds, {"list_item": "list"}).take_all()
+    cats = {b["category"] for r in remapped for b in r["blocks"]}
+    assert "list" in cats and "list_item" not in cats
+
+    hist = {r["category"]: r["n"] for r in block_category_histogram(ds).take_all()}
+    assert hist == {"title": 1, "text": 2, "list_item": 1}
