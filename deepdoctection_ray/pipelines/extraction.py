@@ -77,27 +77,50 @@ class _ExtractAndWritePartitions:
         self._extract = TurnExtractor(keep_payload=False, **extractor_kwargs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time
+
         summaries = []
         if batch.num_rows:
+            t0 = time.perf_counter()
             ordered = batch.sort_by(
                 [("part_id", "ascending"), ("conv_id", "ascending"), ("turn_idx", "ascending")]
             )
             part_col = ordered["part_id"].to_numpy()
+            sort_s = time.perf_counter() - t0
             import numpy as np
 
             starts = [0] + (np.nonzero(np.diff(part_col))[0] + 1).tolist() + [len(part_col)]
             for s, e in zip(starts[:-1], starts[1:]):
                 chunk = ordered.slice(s, e - s)
+                t0 = time.perf_counter()
                 extracted = self._extract(chunk.combine_chunks())
-                lineage = write_partition(self._out, int(part_col[s]), extracted)
+                extract_s = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                lineage = write_partition(
+                    self._out,
+                    int(part_col[s]),
+                    extracted,
+                    extra_lineage={"extract_sec": round(extract_s, 3)},
+                )
+                write_s = time.perf_counter() - t0
                 summaries.append(
-                    (int(part_col[s]), lineage["n_rows"], lineage["n_errors"])
+                    (
+                        int(part_col[s]),
+                        lineage["n_rows"],
+                        lineage["n_errors"],
+                        sort_s / max(len(starts) - 1, 1),
+                        extract_s,
+                        write_s,
+                    )
                 )
         return pa.table(
             {
                 "part_id": pa.array([s[0] for s in summaries], pa.int32()),
                 "n_rows": pa.array([s[1] for s in summaries], pa.int64()),
                 "n_errors": pa.array([s[2] for s in summaries], pa.int64()),
+                "sort_sec": pa.array([s[3] for s in summaries], pa.float64()),
+                "extract_sec": pa.array([s[4] for s in summaries], pa.float64()),
+                "write_sec": pa.array([s[5] for s in summaries], pa.float64()),
             }
         )
 
@@ -108,7 +131,7 @@ def run_extraction(
     num_partitions: int = 32,
     resume: bool = True,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
 ) -> dict:
     """Checkpointed end-to-end run; returns a summary dict.
 
@@ -137,11 +160,18 @@ def run_extraction(
         return batch
 
     if concurrency is None:
+        # the groupby is a barrier: read/shuffle complete before the fused
+        # extract+write stage starts, so its pool can use every CPU
         import ray
 
+        # min=1 so pre-shuffle stages keep a CPU; the pool scales to every
+        # CPU once sorted partitions start queueing (the shuffle is a barrier)
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (1, max(2, cpus - 2))
+        concurrency = (1, max(2, cpus))
 
+    # batch_size=None: the tag stage maps whole blocks — re-chunking here
+    # fragments the shuffle into thousands of tiny per-partition slices and
+    # object-store overhead swamps the exchange (8x slower, measured)
     ds = read_transcripts(input_path).map_batches(
         tag_and_filter, batch_format="pyarrow", batch_size=batch_size
     )
@@ -158,4 +188,7 @@ def run_extraction(
         "rows_written": int(sum(r["n_rows"] for r in rows)),
         "errors": int(sum(r["n_errors"] for r in rows)),
         "output_dir": output_dir,
+        "sort_core_sec": round(sum(r["sort_sec"] for r in rows), 2),
+        "extract_core_sec": round(sum(r["extract_sec"] for r in rows), 2),
+        "write_core_sec": round(sum(r["write_sec"] for r in rows), 2),
     }

@@ -65,25 +65,25 @@ def _words(rng: random.Random, lo: int, hi: int) -> list[str]:
     return [rng.choice(VOCAB) for _ in range(rng.randint(lo, hi))]
 
 
-def _make_plain(rng: random.Random) -> str:
-    toks = _words(rng, 1, 40)
+def _make_plain(rng: random.Random, scale: int = 1) -> str:
+    toks = _words(rng, 1, 40 * scale)
     # sprinkle irregular whitespace so normalization is exercised
     sep = [" ", "  ", "\t", "\n", " "]
     return "".join(t + rng.choice(sep) for t in toks)
 
 
-def _make_html(rng: random.Random) -> str:
+def _make_html(rng: random.Random, scale: int = 1) -> str:
     nav_links = " ".join(f'<a href="/p{i}">nav{i}</a>' for i in range(rng.randint(2, 5)))
     parts = [
         "<html><head><title>synthetic</title><style>p{margin:0}</style></head><body>",
         f"<nav>{nav_links}</nav>",
         "<header><h1>Site Header</h1></header>",
     ]
-    n_blocks = rng.randint(1, 4)
+    n_blocks = rng.randint(1, 4 * scale)
     for _ in range(n_blocks):
         kind = rng.choice(["p", "h1", "ul"])
         if kind == "p":
-            parts.append(f"<p>{' '.join(_words(rng, 4, 20))}</p>")
+            parts.append(f"<p>{' '.join(_words(rng, 4, 20 * scale))}</p>")
         elif kind == "h1":
             parts.append(f"<h1>{' '.join(_words(rng, 2, 6))}</h1>")
         else:
@@ -96,11 +96,11 @@ def _make_html(rng: random.Random) -> str:
     return "".join(parts)
 
 
-def _make_pdfish(rng: random.Random) -> str:
+def _make_pdfish(rng: random.Random, scale: int = 1) -> str:
     width, height = 600, 400
     words = []
     two_cols = rng.random() < 0.3
-    n_lines = rng.randint(1, 5)
+    n_lines = rng.randint(1, min(5 * scale, 12))  # 12 lines fill the page
     for li in range(n_lines):
         y0 = 40.0 + 28.0 * li
         x = 50.0
@@ -126,12 +126,16 @@ _KIND_BUILDERS = {"plain": _make_plain, "html": _make_html, "pdfish": _make_pdfi
 _KIND_TOOL = {"plain": "", "html": "browser", "pdfish": "pdf_reader"}
 
 
-def turn_payload(seed: int, conv_i: int, turn_idx: int) -> tuple[str, str, str]:
-    """(kind, text, tool) for one turn — pure function of (seed, conv, turn)."""
+def turn_payload(seed: int, conv_i: int, turn_idx: int, scale: int = 1) -> tuple[str, str, str]:
+    """(kind, text, tool) for one turn — pure function of (seed, conv, turn).
+
+    ``scale`` grows payload sizes (bench corpora use heavier pages; tests the
+    light default).
+    """
     rng = _rng(seed, "turn", conv_i, turn_idx)
     r = rng.random()
     kind = "plain" if r < 0.5 else ("html" if r < 0.8 else "pdfish")
-    return kind, _KIND_BUILDERS[kind](rng), _KIND_TOOL[kind]
+    return kind, _KIND_BUILDERS[kind](rng, scale), _KIND_TOOL[kind]
 
 
 def conv_turn_count(seed: int, conv_i: int, hot_factor: int = 100) -> int:
@@ -145,18 +149,27 @@ def make_transcripts(
     seed: int = 42,
     hot_factor: int = 100,
     shuffled: bool = True,
+    conv_lo: int = 0,
+    conv_hi: int | None = None,
+    scale: int = 1,
 ) -> pa.Table:
-    """Build the full table in memory (test / small-bench scale)."""
+    """Build a (range of a) transcript table in memory.
+
+    ``conv_lo/conv_hi`` generate only that conversation slice — content is
+    identical whether generated whole or in slices (pure per-turn functions),
+    which is what makes parallel generation deterministic.
+    """
     conv_ids: list[str] = []
     turn_idxs: list[int] = []
     roles: list[str] = []
     texts: list[str] = []
     tools: list[str] = []
     tss: list[dt.datetime] = []
-    for i in range(n_convs):
+    hi = n_convs if conv_hi is None else min(conv_hi, n_convs)
+    for i in range(conv_lo, hi):
         cid = f"conv-{i:06d}"
         for t in range(conv_turn_count(seed, i, hot_factor)):
-            kind, text, tool = turn_payload(seed, i, t)
+            kind, text, tool = turn_payload(seed, i, t, scale)
             conv_ids.append(cid)
             turn_idxs.append(t)
             roles.append(ROLES[t % 3])
@@ -187,13 +200,17 @@ def write_transcripts(
     seed: int = 42,
     hot_factor: int = 100,
     rows_per_file: int = 250_000,
+    scale: int = 1,
 ) -> str:
     """Write (and cache) a transcript table as a directory of parquet files.
 
     Re-uses an existing directory when the parameters match (a ``_meta.json``
-    marker records them), so bench runs pay generation cost once.
+    marker records them), so bench runs pay generation cost once. Large
+    corpora (≥ 5000 conversations) generate in parallel Ray tasks — one
+    conversation-range chunk per task, one parquet file per chunk; content is
+    deterministic regardless of chunking (per-turn hash RNG).
     """
-    meta = {"n_convs": n_convs, "seed": seed, "hot_factor": hot_factor, "v": 2}
+    meta = {"n_convs": n_convs, "seed": seed, "hot_factor": hot_factor, "scale": scale, "v": 3}
     meta_path = os.path.join(path, "_meta.json")
     if os.path.exists(meta_path):
         try:
@@ -203,9 +220,42 @@ def write_transcripts(
         except Exception:
             pass
     os.makedirs(path, exist_ok=True)
-    table = make_transcripts(n_convs, seed, hot_factor)
-    for i in range(0, max(table.num_rows, 1), rows_per_file):
-        pq.write_table(table.slice(i, rows_per_file), os.path.join(path, f"chunk-{i:010d}.parquet"))
+    for old in os.listdir(path):
+        if old.endswith(".parquet"):
+            os.remove(os.path.join(path, old))
+
+    use_ray = False
+    if n_convs >= 5000:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:
+            pass
+
+    if use_ray:
+        import ray
+
+        chunk = 8000
+
+        @ray.remote
+        def gen_chunk(lo: int, hi: int) -> str:
+            table = make_transcripts(
+                n_convs, seed, hot_factor, conv_lo=lo, conv_hi=hi, scale=scale
+            )
+            out = os.path.join(path, f"chunk-{lo:010d}.parquet")
+            pq.write_table(table, out)
+            return out
+
+        ray.get(
+            [gen_chunk.remote(lo, min(lo + chunk, n_convs)) for lo in range(0, n_convs, chunk)]
+        )
+    else:
+        table = make_transcripts(n_convs, seed, hot_factor, scale=scale)
+        for i in range(0, max(table.num_rows, 1), rows_per_file):
+            pq.write_table(
+                table.slice(i, rows_per_file), os.path.join(path, f"chunk-{i:010d}.parquet")
+            )
     with open(meta_path, "w") as fh:
         json.dump(meta, fh)
     return path
