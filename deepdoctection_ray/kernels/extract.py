@@ -31,8 +31,12 @@ def classify_payload(text: str) -> str:
     """Cheap payload-kind sniffing; deterministic and order-independent."""
     if not text:
         return "plain"
-    if _PDFISH_RE.match(text) and '"words"' in text[:2048]:
-        return "pdfish"
+    if _PDFISH_RE.match(text):
+        head = text[:2048]
+        if '"blocks"' in head:
+            return "layout"
+        if '"words"' in head:
+            return "pdfish"
     if _TAG_RE.search(text):
         return "html"
     return "plain"
@@ -53,7 +57,11 @@ def extract_turn(
     """
     k = kind or classify_payload(text)
     try:
-        if k == "pdfish":
+        if k == "layout":
+            from .layout_doc import extract_layout
+
+            blocks = extract_layout(text, paragraph_break=paragraph_break)
+        elif k == "pdfish":
             blocks = extract_pdfish(text, paragraph_break)
         elif k == "html":
             blocks = parse_html_blocks(text, max_link_density, parser=html_parser)

@@ -491,6 +491,16 @@ def q_extract_transcripts(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(["conv_id", "turn_idx", "payload_kind", "extracted_text"])
 
 
+def q_extract_layout(sf_dir: str) -> ray.data.Dataset:
+    """Full layout-pipeline composition (NMS → ioa matching → residual lines →
+    reading order) over a deterministic detector-output table."""
+    from .synth import make_layout_docs
+
+    ds = ray.data.from_arrow(make_layout_docs(300, seed=42))
+    out = ds.map_batches(TurnExtractor, batch_format="pyarrow", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "payload_kind", "extracted_text"])
+
+
 def q_conv_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-conversation stats over extraction output (groupby conv_id)."""
     from .pipelines.extraction import extract_turns, read_transcripts
@@ -539,6 +549,7 @@ def build_queries() -> dict:
         "q_knn_cosine": q_knn_cosine,
         "q_knn_lsh": q_knn_lsh,
         "q_extract_transcripts": q_extract_transcripts,
+        "q_extract_layout": q_extract_layout,
         "q_conv_stats": q_conv_stats,
     }
 

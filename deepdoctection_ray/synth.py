@@ -122,6 +122,66 @@ def _make_pdfish(rng: random.Random, scale: int = 1) -> str:
     return json.dumps({"page": {"width": width, "height": height}, "words": words})
 
 
+def _fill_block_words(rng: random.Random, words: list, x0: float, y0: float, x1: float, y1: float) -> None:
+    """Append word records laid out in lines inside a block box."""
+    y = y0 + 4.0
+    while y + 14.0 < y1:
+        x = x0 + 4.0
+        for _ in range(rng.randint(2, 5)):
+            t = rng.choice(VOCAB)
+            w = 7.0 * len(t)
+            if x + w > x1 - 2.0:
+                break
+            words.append({"text": t, "x0": x, "top": y, "x1": x + w, "bottom": y + 14.0})
+            x += w + 8.0
+        y += 18.0
+        if rng.random() < 0.4:
+            break
+
+
+def _make_layout(rng: random.Random, scale: int = 1) -> str:
+    """Detector-output payload: blocks + words (+NMS duplicate, +residuals)."""
+    width, height = 600, 400
+    blocks: list[dict] = []
+    words: list[dict] = []
+    y = 30.0
+    n_blocks = rng.randint(2, 3 + scale)
+    for bi in range(n_blocks):
+        cat = "title" if bi == 0 else rng.choice(["text", "text", "list", "table"])
+        bh = rng.uniform(40.0, 90.0)
+        if y + bh > height - 30.0:
+            break
+        box = {"x0": 60.0, "top": y, "x1": 540.0, "bottom": y + bh}
+        blocks.append({"category": cat, "score": round(rng.uniform(0.7, 0.99), 2), **box})
+        if rng.random() < 0.25:  # overlapping duplicate detection → NMS prey
+            blocks.append(
+                {
+                    "category": cat,
+                    "score": round(rng.uniform(0.3, 0.6), 2),
+                    "x0": box["x0"] + 3,
+                    "top": box["top"] + 3,
+                    "x1": box["x1"] + 3,
+                    "bottom": box["bottom"] + 3,
+                }
+            )
+        _fill_block_words(rng, words, box["x0"], box["top"], box["x1"], box["bottom"])
+        y += bh + rng.uniform(10.0, 25.0)
+    if rng.random() < 0.5:  # residual words under the last block
+        t = rng.choice(VOCAB)
+        words.append({"text": t, "x0": 80.0, "top": 380.0, "x1": 80.0 + 7.0 * len(t), "bottom": 394.0})
+    rng.shuffle(blocks)
+    rng.shuffle(words)
+    return json.dumps({"page": {"width": width, "height": height}, "blocks": blocks, "words": words})
+
+
+def make_layout_docs(n_docs: int = 300, seed: int = 42) -> pa.Table:
+    """Deterministic table of layout-detector payloads (doc_id, text)."""
+    payloads = [_make_layout(_rng(seed, "layout", i)) for i in range(n_docs)]
+    return pa.table(
+        {"doc_id": pa.array(range(n_docs), pa.int64()), "text": pa.array(payloads, pa.string())}
+    )
+
+
 _KIND_BUILDERS = {"plain": _make_plain, "html": _make_html, "pdfish": _make_pdfish}
 _KIND_TOOL = {"plain": "", "html": "browser", "pdfish": "pdf_reader"}
 
