@@ -1,0 +1,95 @@
+"""Table segmentation: cell boxes → (row, col) grid → CSV / HTML skeleton.
+
+Rule-based re-expression of the reference's table stack
+(``pipe/segment.py:840-1053`` cell→row/col assignment by intersection,
+``pipe/refine.py:412-581`` grid tiling + HTML skeleton,
+``view.py:830-874`` ``Table.csv`` and ``view.py:786-820`` ``Table.html``):
+
+- row bands form greedily over cells sorted by vertical center (a cell joins
+  the first band containing its center; the first cell fixes the band — the
+  same banding idea as ``group_words_into_lines``, applied to cells like the
+  reference applies ioa against stretched row items);
+- column bands likewise over horizontal centers;
+- the grid is (n_rows x n_cols); multi-cell collisions keep the first cell
+  (reference tiling refinement collapses duplicates); missing tiles are empty
+  strings — ``Table.csv`` emits ``""`` for absent cells;
+- cells read in (row, col) order (``view.py:951``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _band_assign(lo: np.ndarray, hi: np.ndarray) -> list[int]:
+    """Greedy 1-D banding: rank each interval into bands ordered by position."""
+    n = len(lo)
+    center = (lo + hi) / 2.0
+    order = sorted(range(n), key=lambda i: (center[i], lo[i]))
+    bands: list[tuple[float, float]] = []
+    assign: dict[int, int] = {}
+    for i in order:
+        placed = False
+        for b, (blo, bhi) in enumerate(bands):
+            if blo <= center[i] <= bhi:
+                assign[i] = b
+                placed = True
+                break
+        if not placed:
+            bands.append((lo[i], hi[i]))
+            assign[i] = len(bands) - 1
+    # bands were created in position order (cells scanned by center), so the
+    # band index already ranks top-to-bottom / left-to-right
+    return [assign[i] for i in range(n)]
+
+
+def segment_cells(cell_boxes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Assign 0-based (row, col) numbers to each cell box.
+
+    Returns ``(rows, cols)`` int arrays aligned with ``cell_boxes``.
+    """
+    if cell_boxes.shape[0] == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    rows = np.array(_band_assign(cell_boxes[:, 1], cell_boxes[:, 3]), dtype=np.int64)
+    cols = np.array(_band_assign(cell_boxes[:, 0], cell_boxes[:, 2]), dtype=np.int64)
+    return rows, cols
+
+
+def grid_from_cells(cell_texts: list[str], rows: np.ndarray, cols: np.ndarray) -> list[list[str]]:
+    """Tile the (row, col) assignments into a dense grid of cell texts."""
+    if len(cell_texts) == 0:
+        return []
+    n_rows = int(rows.max()) + 1
+    n_cols = int(cols.max()) + 1
+    grid = [["" for _ in range(n_cols)] for _ in range(n_rows)]
+    for text, r, c in zip(cell_texts, rows, cols):
+        if not grid[r][c]:  # first cell wins a contested tile
+            grid[r][c] = text
+    return grid
+
+
+def grid_to_csv(grid: list[list[str]]) -> str:
+    """``Table.csv`` shape (``view.py:830-874``): rows of comma-joined texts."""
+    return "\n".join(",".join(row) for row in grid)
+
+
+def grid_to_html(grid: list[list[str]]) -> str:
+    """Minimal HTML skeleton (``refine.py:235-408`` emits the same structure)."""
+    body = "".join(
+        "<tr>" + "".join(f"<td>{cell}</td>" for cell in row) + "</tr>" for row in grid
+    )
+    return f"<table>{body}</table>"
+
+
+def segment_table_payload(
+    cell_boxes: np.ndarray, cell_texts: list[str]
+) -> dict:
+    """Full table pass: boxes+texts → grid dict (n_rows, n_cols, csv, html)."""
+    rows, cols = segment_cells(cell_boxes)
+    grid = grid_from_cells(cell_texts, rows, cols)
+    return {
+        "n_rows": len(grid),
+        "n_cols": len(grid[0]) if grid else 0,
+        "csv": grid_to_csv(grid),
+        "html": grid_to_html(grid),
+    }

@@ -491,6 +491,88 @@ def q_extract_transcripts(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(["conv_id", "turn_idx", "payload_kind", "extracted_text"])
 
 
+def q_token_classes(sf_dir: str) -> ray.data.Dataset:
+    """Token classification counts per document (LMTokenClassifier analog,
+    rule-based): number tokens vs total tokens."""
+    from .stages.classify import TokenClassifier
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(TurnExtractor, batch_format="pyarrow", concurrency=(1, 4))
+    out = out.map_batches(TokenClassifier, batch_format="pyarrow", concurrency=(1, 4))
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n_tok, n_num = [], []
+        for classes in batch["token_classes"].to_pylist():
+            classes = classes or []
+            n_tok.append(len(classes))
+            n_num.append(sum(1 for c in classes if c == "number"))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_number": pa.array(n_num, pa.int64()),
+            }
+        )
+
+    return out.map_batches(counts, batch_format="pyarrow")
+
+
+Q_TOKEN_CLASSES_SQL = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+                            x -> regexp_full_match(x, '[0-9]+([.,][0-9]+)*'))) AS BIGINT) AS n_number
+FROM documents
+"""
+
+
+def q_doc_type(sf_dir: str) -> ray.data.Dataset:
+    """Sequence classification (document type) over the layout-doc corpus."""
+    from .stages.classify import SequenceClassifier
+    from .synth import make_layout_docs
+
+    ds = ray.data.from_arrow(make_layout_docs(300, seed=42))
+    out = ds.map_batches(TurnExtractor, batch_format="pyarrow", concurrency=(1, 4))
+    out = out.map_batches(SequenceClassifier, batch_format="pyarrow", concurrency=(1, 2))
+    return out.select_columns(["doc_id", "doc_type"])
+
+
+def q_table_segment(sf_dir: str) -> ray.data.Dataset:
+    """Table segmentation: deterministic cell grids → (row, col) assignment →
+    CSV text per table."""
+    from .kernels.table_segment import segment_table_payload
+    from .synth import make_table_docs
+
+    ds = ray.data.from_arrow(make_table_docs(200, seed=42))
+
+    def segment(batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        import numpy as np
+
+        ids, n_rows, n_cols, csvs = [], [], [], []
+        for doc_id, payload in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            doc = _json.loads(payload)
+            boxes = np.array(
+                [[c["x0"], c["top"], c["x1"], c["bottom"]] for c in doc["cells"]], dtype=np.float64
+            )
+            res = segment_table_payload(boxes, [c["text"] for c in doc["cells"]])
+            ids.append(doc_id)
+            n_rows.append(res["n_rows"])
+            n_cols.append(res["n_cols"])
+            csvs.append(res["csv"])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_rows": pa.array(n_rows, pa.int64()),
+                "n_cols": pa.array(n_cols, pa.int64()),
+                "csv": pa.array(csvs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(segment, batch_format="pyarrow")
+
+
 def q_extract_layout(sf_dir: str) -> ray.data.Dataset:
     """Full layout-pipeline composition (NMS → ioa matching → residual lines →
     reading order) over a deterministic detector-output table."""
@@ -551,6 +633,9 @@ def build_queries() -> dict:
         "q_extract_transcripts": q_extract_transcripts,
         "q_extract_layout": q_extract_layout,
         "q_conv_stats": q_conv_stats,
+        "q_token_classes": q_token_classes,
+        "q_doc_type": q_doc_type,
+        "q_table_segment": q_table_segment,
     }
 
 
@@ -572,6 +657,7 @@ def build_oracle_sql() -> dict:
         "q_doc_stats_by_source": Q_DOC_STATS_SQL,
         "q_extract_documents": Q_EXTRACT_DOCS_SQL,
         "q_knn_cosine": Q_KNN_SQL,
+        "q_token_classes": Q_TOKEN_CLASSES_SQL,
         # q_lang_id / q_rolling_fingerprint / dedup approx / lsh / transcripts:
         # non-SQL-expressible → rows-only check
     }

@@ -182,6 +182,37 @@ def make_layout_docs(n_docs: int = 300, seed: int = 42) -> pa.Table:
     )
 
 
+def make_table_docs(n_docs: int = 200, seed: int = 42) -> pa.Table:
+    """Deterministic table-cell payloads (doc_id, text): a jittered R x C cell
+    grid whose correct (row, col) assignment is known by construction."""
+    payloads = []
+    for i in range(n_docs):
+        rng = _rng(seed, "table", i)
+        n_rows = rng.randint(2, 5)
+        n_cols = rng.randint(2, 4)
+        cells = []
+        for r in range(n_rows):
+            for c in range(n_cols):
+                if rng.random() < 0.1:
+                    continue  # missing tile (sparse table)
+                x0 = 50.0 + 120.0 * c + rng.uniform(-4, 4)
+                y0 = 40.0 + 40.0 * r + rng.uniform(-4, 4)
+                cells.append(
+                    {
+                        "text": f"r{r}c{c} {rng.choice(VOCAB)}",
+                        "x0": x0,
+                        "top": y0,
+                        "x1": x0 + 110.0,
+                        "bottom": y0 + 32.0,
+                    }
+                )
+        rng.shuffle(cells)
+        payloads.append(json.dumps({"cells": cells}))
+    return pa.table(
+        {"doc_id": pa.array(range(n_docs), pa.int64()), "text": pa.array(payloads, pa.string())}
+    )
+
+
 _KIND_BUILDERS = {"plain": _make_plain, "html": _make_html, "pdfish": _make_pdfish}
 _KIND_TOOL = {"plain": "", "html": "browser", "pdfish": "pdf_reader"}
 

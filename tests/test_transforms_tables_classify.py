@@ -1,0 +1,153 @@
+"""Transforms, table segmentation, classifiers, evaluator, registry."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from deepdoctection_ray.kernels import transforms as T
+from deepdoctection_ray.kernels.table_segment import (
+    grid_from_cells,
+    grid_to_csv,
+    grid_to_html,
+    segment_cells,
+    segment_table_payload,
+)
+
+
+def test_rotate_roundtrip():
+    boxes = np.array([[10.0, 20.0, 110.0, 60.0]])
+    w, h = 600.0, 400.0
+    r90 = T.rotate_boxes(boxes, 90, w, h)
+    w2, h2 = T.rotated_extent(90, w, h)
+    assert (w2, h2) == (h, w)
+    back = T.rotate_boxes(r90, 270, w2, h2)
+    assert np.allclose(back, boxes)
+    r180 = T.rotate_boxes(boxes, 180, w, h)
+    assert r180.tolist() == [[490.0, 340.0, 590.0, 380.0]]
+
+
+def test_resize_and_pad():
+    boxes = np.array([[10.0, 20.0, 110.0, 60.0]])
+    resized = T.resize_boxes(boxes, 600, 400, 1200, 800)
+    assert resized.tolist() == [[20.0, 40.0, 220.0, 120.0]]
+    padded = T.pad_boxes(boxes, 5, 7)
+    assert padded.tolist() == [[15.0, 27.0, 115.0, 67.0]]
+    assert T.unpad_boxes(padded, 5, 7, 600, 400).tolist() == boxes.tolist()
+
+
+def test_local_global_roundtrip():
+    frame = np.array([100.0, 50.0, 400.0, 300.0])
+    local = np.array([[10.0, 10.0, 60.0, 40.0]])
+    glob = T.local_to_global(local, frame)
+    assert glob.tolist() == [[110.0, 60.0, 160.0, 90.0]]
+    assert T.global_to_local(glob, frame).tolist() == local.tolist()
+
+
+def test_crop_boxes_selects_intersecting():
+    frame = np.array([0.0, 0.0, 100.0, 100.0])
+    boxes = np.array([[10.0, 10.0, 20.0, 20.0], [200.0, 200.0, 210.0, 210.0]])
+    keep, local = T.crop_boxes(boxes, frame)
+    assert keep.tolist() == [0]
+    assert local.tolist() == [[10.0, 10.0, 20.0, 20.0]]
+
+
+def test_table_segmentation_grid():
+    # 2x3 grid, shuffled input, jittered coords
+    cells = []
+    for r in range(2):
+        for c in range(3):
+            cells.append(([50.0 + 120 * c + 2, 40.0 + 40 * r - 1, 160.0 + 120 * c, 70.0 + 40 * r], f"r{r}c{c}"))
+    cells = [cells[i] for i in (3, 0, 5, 2, 1, 4)]
+    boxes = np.array([c[0] for c in cells])
+    rows, cols = segment_cells(boxes)
+    grid = grid_from_cells([c[1] for c in cells], rows, cols)
+    assert grid == [["r0c0", "r0c1", "r0c2"], ["r1c0", "r1c1", "r1c2"]]
+    assert grid_to_csv(grid) == "r0c0,r0c1,r0c2\nr1c0,r1c1,r1c2"
+    assert grid_to_html(grid).startswith("<table><tr><td>r0c0</td>")
+
+
+def test_table_docs_roundtrip_known_assignment():
+    from deepdoctection_ray.synth import make_table_docs
+
+    table = make_table_docs(30, seed=42)
+    for payload in table["text"].to_pylist():
+        doc = json.loads(payload)
+        boxes = np.array([[c["x0"], c["top"], c["x1"], c["bottom"]] for c in doc["cells"]])
+        texts = [c["text"] for c in doc["cells"]]
+        res = segment_table_payload(boxes, texts)
+        # every placed cell lands on its construction (row, col)
+        for line_no, line in enumerate(res["csv"].split("\n")):
+            for col_no, cell in enumerate(line.split(",")):
+                if cell:
+                    assert cell.startswith(f"r{line_no}c{col_no} "), (cell, line_no, col_no)
+
+
+def test_token_classifier():
+    from deepdoctection_ray.stages.classify import TokenClassifier
+
+    tc = TokenClassifier()
+    assert tc.classify_token("1234") == "number"
+    assert tc.classify_token("3.14") == "number"
+    assert tc.classify_token("2026-08-17") == "date"
+    assert tc.classify_token("https://x.y/z") == "url"
+    assert tc.classify_token("a@b.co") == "email"
+    assert tc.classify_token("hello") == "word"
+
+    from deepdoctection_ray.stages.extract import TurnExtractor
+
+    batch = pa.table({"text": ["pay 42 at https://shop.example now"]})
+    out = tc(TurnExtractor()(batch))
+    assert out["token_classes"].to_pylist() == [["word", "number", "word", "url", "word"]]
+
+
+def test_sequence_classifier():
+    from deepdoctection_ray.stages.classify import SequenceClassifier
+
+    sc = SequenceClassifier()
+    assert sc.classify("layout", ["title", "text", "text"]) == "article"
+    assert sc.classify("layout", ["table", "text"]) == "table_doc"
+    assert sc.classify("plain", ["text"]) == "chat"
+    assert sc.classify("html", ["list_item", "list_item"]) == "listing"
+
+
+def test_evaluator(ray_session):
+    import ray.data
+
+    from deepdoctection_ray.pipelines.evaluate import evaluate_extraction
+
+    golden = ray.data.from_items(
+        [
+            {"conv_id": "a", "turn_idx": 0, "extracted_text": "x", "payload_kind": "plain"},
+            {"conv_id": "a", "turn_idx": 1, "extracted_text": "y", "payload_kind": "plain"},
+            {"conv_id": "b", "turn_idx": 0, "extracted_text": "z", "payload_kind": "html"},
+        ]
+    )
+    produced = ray.data.from_items(
+        [
+            {"conv_id": "a", "turn_idx": 0, "extracted_text": "x", "payload_kind": "plain"},
+            {"conv_id": "a", "turn_idx": 1, "extracted_text": "WRONG", "payload_kind": "plain"},
+            {"conv_id": "c", "turn_idx": 0, "extracted_text": "new", "payload_kind": "plain"},
+        ]
+    )
+    res = evaluate_extraction(golden, produced)
+    assert res["matched"] == 1 and res["mismatched"] == 1
+    assert res["missing"] == 1 and res["extra"] == 1
+    assert res["exact_match_rate"] == 0.5
+
+
+def test_registry():
+    from deepdoctection_ray.functions.registry import build_stage, register_categories, stage_registry
+
+    assert "turn_extractor" in stage_registry.names()
+    stage = build_stage("turn_extractor", keep_payload=True)
+    out = stage(pa.table({"text": ["a  b"]}))
+    assert out["extracted_text"].to_pylist() == ["a b"]
+
+    cats = register_categories("custom", ["foo", "bar"])
+    assert "foo" in cats
+    with pytest.raises(KeyError):
+        stage_registry.get("nope")
