@@ -132,8 +132,13 @@ def run_extraction(
     resume: bool = True,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = None,
+    salt_span: int | None = None,
 ) -> dict:
     """Checkpointed end-to-end run; returns a summary dict.
+
+    ``salt_span``: break conversations into ``salt_span``-turn ranges before
+    hashing, so one pathologically hot conv_id cannot exceed a partition's
+    budget (see :func:`conv_partition_ids`).
 
     Stage shape: read → tag/filter (stateless) → hash-shuffle the FLAT input
     rows by part_id → fused actor stage per partition (sort, extract, write,
@@ -152,7 +157,9 @@ def run_extraction(
     done_list = sorted(done)
 
     def tag_and_filter(batch: pa.Table) -> pa.Table:
-        part = conv_partition_ids(batch["conv_id"], num_partitions)
+        part = conv_partition_ids(
+            batch["conv_id"], num_partitions, turn_idx=batch["turn_idx"], salt_span=salt_span
+        )
         batch = batch.append_column("part_id", pa.array(part, pa.int32()))
         if done_list:
             mask = pc.invert(pc.is_in(batch["part_id"], value_set=pa.array(done_list, pa.int32())))

@@ -43,13 +43,35 @@ BLOCK_TYPE = pa.list_(
 )
 
 
-def conv_partition_ids(conv_ids: pa.ChunkedArray | pa.Array, num_partitions: int) -> np.ndarray:
-    """Vectorized-ish stable partition id per row: crc32(conv_id) % P.
+def conv_partition_ids(
+    conv_ids: pa.ChunkedArray | pa.Array,
+    num_partitions: int,
+    turn_idx: pa.ChunkedArray | pa.Array | None = None,
+    salt_span: int | None = None,
+) -> np.ndarray:
+    """Stable partition id per row: ``crc32(conv_id) % P``.
 
     crc32 is a C single-call per row (~100ns); identical across processes and
     runs (unlike ``hash()``), which is what resumable partitioning needs.
+
+    With ``salt_span`` set, the key becomes ``conv_id # turn_idx//salt_span``:
+    a conversation larger than one partition's budget splits into fixed
+    turn-ranges spread over the hash space (SURVEY.md §7.4 skew handling).
+    Ordering within each range is preserved by the per-partition sort; a
+    consumer that needs one giant conversation contiguous re-merges its
+    ranges by turn_idx — that cost is paid only for the pathological key.
     """
     vals = conv_ids.to_pylist()
+    if salt_span:
+        turns = turn_idx.to_pylist()
+        return np.fromiter(
+            (
+                zlib.crc32(f"{v}#{t // salt_span}".encode("utf-8")) % num_partitions
+                for v, t in zip(vals, turns)
+            ),
+            dtype=np.int32,
+            count=len(vals),
+        )
     return np.fromiter(
         (zlib.crc32(v.encode("utf-8")) % num_partitions for v in vals),
         dtype=np.int32,

@@ -107,3 +107,40 @@ def test_resume_skips_completed_partitions(ray_session, small_transcripts, tmp_p
     lineage = read_lineage(resumed_dir)
     assert sum(l["n_rows"] for l in lineage) == full.num_rows
     assert all("engine_version" in l for l in lineage)
+
+
+def test_salted_skew_equals_unsalted(ray_session, small_transcripts, tmp_path):
+    """A hot conversation splits across partitions under salting; the corpus
+    is row-identical to the unsalted run and partitions stay sorted."""
+    import zlib
+
+    from deepdoctection_ray.pipelines.extraction import run_extraction
+
+    plain_dir = str(tmp_path / "plain")
+    salted_dir = str(tmp_path / "salted")
+    run_extraction(small_transcripts, plain_dir, num_partitions=8)
+    run_extraction(small_transcripts, salted_dir, num_partitions=8, salt_span=16)
+
+    plain = _read_output(plain_dir)
+    salted = _read_output(salted_dir)
+    key = lambda t: sorted(
+        zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(), t["extracted_text"].to_pylist())
+    )
+    assert key(salted) == key(plain)
+
+    # the hot conversation (conv-000000, 70 turns at hot_factor=10) must span
+    # several partitions under span-16 salting
+    expected_parts = {
+        zlib.crc32(f"conv-000000#{t // 16}".encode()) % 8 for t in range(70)
+    }
+    got_parts = set()
+    for f in sorted(os.listdir(salted_dir)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(salted_dir, f))
+            mask = [c == "conv-000000" for c in t["conv_id"].to_pylist()]
+            if any(mask):
+                got_parts.add(int(f.split("-")[1].split(".")[0]))
+            keys = list(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()))
+            assert keys == sorted(keys)
+    assert got_parts == expected_parts
+    assert len(got_parts) >= 2

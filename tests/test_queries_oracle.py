@@ -13,7 +13,7 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
