@@ -56,6 +56,53 @@ def broadcast_join(
     return ds.map_batches(Join, batch_format="pyarrow", concurrency=(1, 4))
 
 
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_column: str,
+    ts_column: str,
+    right_value_columns: list[str],
+    suffix: str = "_right",
+) -> ray.data.Dataset:
+    """Backward as-of join: for each left row, the latest right row of the
+    same key with ``right.ts <= left.ts``.
+
+    The two sides are co-partitioned by one ``groupby(key)`` (a ``side``
+    column keeps them apart inside the group) and matched with
+    ``pandas.merge_asof`` per key — the guide's bucketed merge_asof shape.
+    Rows with no earlier right match keep nulls (left join semantics).
+    """
+    import numpy as np
+    import pandas as pd
+
+    left_cols = left.schema().names
+    l = left.add_column("__side", lambda df: pd.Series(["l"] * len(df)), batch_format="pandas")
+    keep = [key_column, ts_column] + right_value_columns
+    r = right.select_columns(keep).add_column(
+        "__side", lambda df: pd.Series(["r"] * len(df)), batch_format="pandas"
+    )
+    both = l.union(r)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"].drop(columns=["__side"]).sort_values(ts_column, kind="stable")
+        rg = g[g["__side"] == "r"][keep].sort_values(ts_column, kind="stable")
+        if lg.empty:
+            return pd.DataFrame()
+        lg = lg[[c for c in lg.columns if c in left_cols]]
+        merged = pd.merge_asof(
+            lg,
+            rg.rename(columns={c: c + suffix for c in right_value_columns + [ts_column]}),
+            left_on=ts_column,
+            right_on=ts_column + suffix,
+            left_by=key_column,
+            right_by=key_column,
+            direction="backward",
+        )
+        return merged
+
+    return both.groupby(key_column).map_groups(per_key, batch_format="pandas")
+
+
 def semi_join(ds: ray.data.Dataset, keys, key_column: str, anti: bool = False) -> ray.data.Dataset:
     """Keep (or with ``anti=True`` drop) rows whose key is in the broadcast set."""
     key_array = pa.array(sorted(set(keys)))

@@ -298,6 +298,33 @@ FROM gaps GROUP BY user_id
 """
 
 
+def q_events_asof(sf_dir: str) -> ray.data.Dataset:
+    """As-of join: for each purchase event, the latest click of the same user
+    at or before it (bucketed ``merge_asof`` — an operator Ray Data lacks)."""
+    from .functions.joins import asof_join
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], pa.scalar("purchase"))),
+        batch_format="pyarrow",
+    )
+    clicks = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], pa.scalar("click"))),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(purchases, clicks, "user_id", "ts", ["event_id", "value"])
+    return joined.select_columns(["event_id", "user_id", "ts", "event_id_right", "value_right"])
+
+
+Q_ASOF_SQL = """
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS event_id_right, r.value AS value_right
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
     """Tumbling one-hour window counts per event type."""
     ev = _t(sf_dir, "events", columns=["ts", "event_type"])
@@ -617,6 +644,7 @@ def build_queries() -> dict:
         "q_events_by_type": q_events_by_type,
         "q_events_sessionize": q_events_sessionize,
         "q_events_hourly": q_events_hourly,
+        "q_events_asof": q_events_asof,
         "q_doc_tokens": q_doc_tokens,
         "q_doc_quality": q_doc_quality,
         "q_doc_fingerprint": q_doc_fingerprint,
@@ -650,6 +678,7 @@ def build_oracle_sql() -> dict:
         "q_events_by_type": Q_EVENTS_TYPE_SQL,
         "q_events_sessionize": Q_SESSIONIZE_SQL,
         "q_events_hourly": Q_HOURLY_SQL,
+        "q_events_asof": Q_ASOF_SQL,
         "q_doc_tokens": Q_DOC_TOKENS_SQL,
         "q_doc_quality": Q_DOC_QUALITY_SQL,
         "q_doc_fingerprint": Q_DOC_FP_SQL,
