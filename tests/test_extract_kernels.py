@@ -99,3 +99,23 @@ def test_extract_turn_error_is_dead_letter():
     out = extract_turn('{"words": [{"text": "a"}]}', kind="pdfish")  # missing coords
     assert out["error"] is not None
     assert out["extracted_text"] == ""
+
+
+def test_html_fast_engine_matches_stdlib():
+    """The regex tokenizer and html.parser drive the same collector; block
+    output must be identical over the synthetic HTML corpus."""
+    from deepdoctection_ray.kernels.html_blocks import _BlockCollector
+    from deepdoctection_ray.synth import _make_html, _rng
+
+    p = _BlockCollector()
+    for i in range(300):
+        h = _make_html(_rng(7, "eq", i), scale=2)
+        fast = parse_html_blocks(h, parser=p, engine="fast")
+        slow = parse_html_blocks(h, parser=p, engine="stdlib")
+        assert [(b.category, b.words) for b in fast] == [(b.category, b.words) for b in slow]
+
+
+def test_html_fast_engine_entities_and_comments():
+    html = "<body><!-- note --><p>a &amp; b &lt;tag&gt;</p><br/><p>two</p></body>"
+    blocks = parse_html_blocks(html)
+    assert [" ".join(b.words) for b in blocks] == ["a & b <tag>", "two"]
