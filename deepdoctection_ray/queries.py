@@ -325,6 +325,15 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
 """
 
 
+def q_approx_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """HLL approximate distinct users per event type (mergeable sketch; one
+    4-KB register array per batch crosses the shuffle, never the raw keys)."""
+    from .stages.sketches import approx_distinct
+
+    ev = _t(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_distinct(ev, "user_id", by="event_type")
+
+
 def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
     """Tumbling one-hour window counts per event type."""
     ev = _t(sf_dir, "events", columns=["ts", "event_type"])
@@ -645,6 +654,7 @@ def build_queries() -> dict:
         "q_events_sessionize": q_events_sessionize,
         "q_events_hourly": q_events_hourly,
         "q_events_asof": q_events_asof,
+        "q_approx_distinct_users": q_approx_distinct_users,
         "q_doc_tokens": q_doc_tokens,
         "q_doc_quality": q_doc_quality,
         "q_doc_fingerprint": q_doc_fingerprint,

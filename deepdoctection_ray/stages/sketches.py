@@ -1,0 +1,126 @@
+"""Mergeable sketches: HyperLogLog approximate count-distinct.
+
+No sketch exists in the reference (SURVEY.md §2.6); at 100 TB an exact
+``count(distinct)`` is an all-to-all of every key, while a sketch is one
+4-KB register array per batch merged associatively — the canonical
+pre-aggregation pattern (guide: "emit one serialized sketch per batch and
+merge them in a second, tiny stage").
+
+Standard HLL (Flajolet et al. 2007, public algorithm): p-bit bucket index,
+max leading-zero rank per bucket, harmonic-mean estimate with small/large
+range corrections.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..kernels.ids import stable_int
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+class HyperLogLog:
+    """Dense HLL with 2**p registers (p=12 → ~1.6% relative error, 4 KB)."""
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None) -> None:
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        """Vectorized insert of 63-bit hashes."""
+        h = hashes.astype(np.uint64)
+        idx = (h >> np.uint64(63 - self.p)).astype(np.int64)  # top p bits
+        rest = (h << np.uint64(self.p + 1)) >> np.uint64(self.p + 1)  # low 63-p bits
+        # rank = leading zeros of the remaining bits + 1
+        width = 63 - self.p
+        nz = rest != 0
+        ranks = np.full(h.shape[0], width + 1, dtype=np.uint8)
+        if nz.any():
+            bits = np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+            ranks[nz] = (width - bits).astype(np.uint8)
+        np.maximum.at(self.registers, idx, ranks)
+
+    def add_values(self, values) -> None:
+        self.add_hashes(
+            np.fromiter((stable_int(str(v)) for v in values), dtype=np.uint64, count=len(values))
+        )
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        return HyperLogLog(self.p, np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        est = _alpha(self.m) * m * m / np.power(2.0, -self.registers.astype(np.float64)).sum()
+        if est <= 2.5 * m:  # small-range correction
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                return m * np.log(m / zeros)
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, p: int = 12) -> "HyperLogLog":
+        return cls(p, np.frombuffer(data, dtype=np.uint8).copy())
+
+
+def approx_distinct(
+    ds: ray.data.Dataset, column: str, by: str | None = None, p: int = 12
+) -> ray.data.Dataset:
+    """Approximate distinct count of ``column`` (optionally per ``by`` group).
+
+    One sketch per (group, batch) leaves the map stage; a tiny groupby merges
+    registers. Result: ``(by?, approx_distinct: int64)``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups: dict = {}
+        keys = batch[by].to_pylist() if by else [""] * batch.num_rows
+        vals = batch[column].to_pylist()
+        for k, v in zip(keys, vals):
+            groups.setdefault(k, []).append(v)
+        out_k, out_s = [], []
+        for k, vs in groups.items():
+            h = HyperLogLog(p)
+            h.add_values(vs)
+            out_k.append(k)
+            out_s.append(h.to_bytes())
+        t = {"sketch": pa.array(out_s, pa.binary())}
+        if by:
+            t[by] = pa.array(out_k, batch[by].type)
+        else:
+            t["__g"] = pa.array(out_k, pa.string())
+        return pa.table(t)
+
+    key = by if by else "__g"
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        acc = HyperLogLog(p)
+        for blob in group["sketch"].to_pylist():
+            acc = acc.merge(HyperLogLog.from_bytes(blob, p))
+        t = {"approx_distinct": pa.array([int(round(acc.estimate()))], pa.int64())}
+        if by:
+            t = {by: group[by].slice(0, 1), **t}
+        return pa.table(t)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(reduce_group, batch_format="pyarrow")
+    )

@@ -131,3 +131,40 @@ def test_category_ops(ray_session):
 
     hist = {r["category"]: r["n"] for r in block_category_histogram(ds).take_all()}
     assert hist == {"title": 1, "text": 2, "list_item": 1}
+
+
+def test_hll_accuracy():
+    import numpy as np
+
+    from deepdoctection_ray.stages.sketches import HyperLogLog
+
+    h = HyperLogLog(p=12)
+    h.add_values([f"user-{i}" for i in range(10000)])
+    est = h.estimate()
+    assert abs(est - 10000) / 10000 < 0.05
+    # mergeability: two halves merged == union estimate
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.add_values([f"user-{i}" for i in range(6000)])
+    b.add_values([f"user-{i}" for i in range(4000, 10000)])
+    merged = a.merge(b)
+    assert merged.estimate() == HyperLogLog(12, merged.registers).estimate()
+    assert abs(merged.estimate() - 10000) / 10000 < 0.05
+    # serialization round-trip
+    back = HyperLogLog.from_bytes(merged.to_bytes(), 12)
+    assert back.estimate() == merged.estimate()
+
+
+def test_approx_distinct_grouped(ray_session):
+    import ray.data
+
+    from deepdoctection_ray.stages.sketches import approx_distinct
+
+    rows = [
+        {"k": "a", "v": f"x{i % 500}"} for i in range(3000)
+    ] + [{"k": "b", "v": f"y{i % 50}"} for i in range(1000)]
+    ds = ray.data.from_items(rows)
+    out = {r["k"]: r["approx_distinct"] for r in approx_distinct(ds, "v", by="k").take_all()}
+    assert abs(out["a"] - 500) / 500 < 0.1
+    assert abs(out["b"] - 50) / 50 < 0.1
+    total = approx_distinct(ds, "v").take_all()
+    assert abs(total[0]["approx_distinct"] - 550) / 550 < 0.1
