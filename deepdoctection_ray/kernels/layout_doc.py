@@ -97,6 +97,18 @@ def extract_layout(
         wb.append([x0, top, x1, bottom])
     word_boxes = B.snap_abs(np.array(wb, dtype=np.float64)) if wb else np.empty((0, 4))
 
+    # rotation normalization before any geometry-dependent step
+    # (SimpleTransformService analog, pipe/transform.py:33-113)
+    rotation = int(page.get("rotation", 0))
+    if rotation % 360:
+        from .transforms import rotate_boxes, rotated_extent
+
+        if block_boxes.shape[0]:
+            block_boxes = rotate_boxes(block_boxes, rotation, width, height)
+        if word_boxes.shape[0]:
+            word_boxes = rotate_boxes(word_boxes, rotation, width, height)
+        width, height = rotated_extent(rotation, width, height)
+
     # 2. word→block matching against surviving text blocks
     text_block_ids = [i for i in surviving if categories[i] in TEXT_BLOCK_CATEGORIES]
     children: dict[int, list[int]] = {i: [] for i in text_block_ids}

@@ -35,12 +35,13 @@ from .reading_order import PARAGRAPH_BREAK, group_words_into_lines, order_blocks
 from .textlines import make_text_lines
 
 
-def parse_pdfish_payload(payload: str) -> tuple[list[str], np.ndarray, float, float]:
-    """Decode the JSON payload into (texts, abs boxes [N,4], width, height)."""
+def parse_pdfish_payload(payload: str) -> tuple[list[str], np.ndarray, float, float, int]:
+    """Decode the JSON payload into (texts, abs boxes, width, height, rotation)."""
     doc = json.loads(payload)
     page = doc.get("page") or {}
     width = float(page.get("width", 612.0))
     height = float(page.get("height", 792.0))
+    rotation = int(page.get("rotation", 0))
     words = doc.get("words") or []
     texts: list[str] = []
     raw: list[list[float]] = []
@@ -55,8 +56,8 @@ def parse_pdfish_payload(payload: str) -> tuple[list[str], np.ndarray, float, fl
         texts.append(token)
         raw.append([x0, top, x1, bottom])
     if not raw:
-        return [], np.empty((0, 4)), width, height
-    return texts, B.snap_abs(np.array(raw, dtype=np.float64)), width, height
+        return [], np.empty((0, 4)), width, height, rotation
+    return texts, B.snap_abs(np.array(raw, dtype=np.float64)), width, height, rotation
 
 
 def blocks_from_words(
@@ -85,6 +86,17 @@ def blocks_from_words(
 
 
 def extract_pdfish(payload: str, paragraph_break: float = PARAGRAPH_BREAK) -> list[Block]:
-    """Full pdfish path: JSON → filtered words → ordered blocks."""
-    texts, word_boxes, width, height = parse_pdfish_payload(payload)
+    """Full pdfish path: JSON → filtered words → (rotation) → ordered blocks.
+
+    A ``page.rotation`` of 90/180/270 marks content that must be rotated CCW
+    by that angle to restore reading orientation — the
+    ``SimpleTransformService`` analog (``pipe/transform.py:33-113``): the
+    rotation is applied to the coordinates before any ordering runs.
+    """
+    texts, word_boxes, width, height, rotation = parse_pdfish_payload(payload)
+    if rotation % 360 and word_boxes.shape[0]:
+        from .transforms import rotate_boxes, rotated_extent
+
+        word_boxes = rotate_boxes(word_boxes, rotation, width, height)
+        width, height = rotated_extent(rotation, width, height)
     return blocks_from_words(texts, word_boxes, width, height, paragraph_break)

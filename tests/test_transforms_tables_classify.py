@@ -151,3 +151,58 @@ def test_registry():
     assert "foo" in cats
     with pytest.raises(KeyError):
         stage_registry.get("nope")
+
+
+def test_rotated_pdfish_equals_unrotated():
+    """A page whose content is rotated 90° CW with rotation=90 declared must
+    extract identically to the upright page (SimpleTransformService analog)."""
+    import json as _json
+
+    from deepdoctection_ray.kernels import transforms as TR
+    from deepdoctection_ray.kernels.extract import extract_turn
+
+    W, H = 600.0, 400.0
+    upright_words = [
+        {"text": "hello", "x0": 110, "top": 165, "x1": 130, "bottom": 180},
+        {"text": "world", "x0": 140, "top": 162, "x1": 180, "bottom": 180},
+        {"text": "bye", "x0": 100, "top": 320, "x1": 130, "bottom": 340},
+        {"text": "world", "x0": 140, "top": 320, "x1": 180, "bottom": 340},
+    ]
+    golden = extract_turn(
+        _json.dumps({"page": {"width": W, "height": H}, "words": upright_words})
+    )["extracted_text"]
+    assert golden == "hello world\nbye world"
+
+    # rotate the content 90° clockwise into an H x W page: applying the
+    # engine's CCW-90 restore must undo it — build via the inverse (270 CCW)
+    boxes = np.array([[w["x0"], w["top"], w["x1"], w["bottom"]] for w in upright_words], float)
+    rotated = TR.rotate_boxes(boxes, 270, W, H)
+    rot_words = [
+        {"text": w["text"], "x0": b[0], "top": b[1], "x1": b[2], "bottom": b[3]}
+        for w, b in zip(upright_words, rotated.tolist())
+    ]
+    rw, rh = TR.rotated_extent(270, W, H)
+    out = extract_turn(
+        _json.dumps({"page": {"width": rw, "height": rh, "rotation": 90}, "words": rot_words})
+    )
+    assert out["extracted_text"] == golden
+
+
+def test_explode_chunks(ray_session):
+    import ray.data
+
+    from deepdoctection_ray.stages.chunks import explode_chunks
+    from deepdoctection_ray.stages.extract import TurnExtractor
+
+    ds = ray.data.from_items(
+        [
+            {"conv_id": "a", "turn_idx": 0,
+             "text": "<body><h1>Top Title</h1><p>first para</p><p>second para</p></body>"},
+            {"conv_id": "a", "turn_idx": 1, "text": "plain words"},
+        ]
+    )
+    out = ds.map_batches(TurnExtractor, batch_format="pyarrow", concurrency=2)
+    chunks = explode_chunks(out).to_pandas().sort_values(["turn_idx", "block_idx"])
+    assert chunks["chunk_text"].tolist() == ["Top Title", "first para", "second para", "plain words"]
+    assert chunks["category"].tolist() == ["title", "text", "text", "text"]
+    assert chunks["reading_order"].tolist() == [1, 2, 3, 1]
