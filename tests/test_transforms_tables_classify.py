@@ -206,3 +206,56 @@ def test_explode_chunks(ray_session):
     assert chunks["chunk_text"].tolist() == ["Top Title", "first para", "second para", "plain words"]
     assert chunks["category"].tolist() == ["title", "text", "text", "text"]
     assert chunks["reading_order"].tolist() == [1, 2, 3, 1]
+
+
+def test_table_similarity():
+    from deepdoctection_ray.functions.eval_extras import table_similarity
+
+    a = [["h1", "h2"], ["x", "y"]]
+    assert table_similarity(a, a) == 1.0
+    b = [["h1", "h2"], ["x", "WRONG"]]
+    assert table_similarity(a, b) == 0.75
+    assert table_similarity(a, [["h1", "h2"]]) == 0.5
+    assert table_similarity([], []) == 1.0
+
+
+def test_detection_metrics():
+    from deepdoctection_ray.functions.eval_extras import detection_metrics
+
+    gt = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], float)
+    pred = np.array([[1, 1, 11, 11], [50, 50, 60, 60]], float)
+    scores = np.array([0.9, 0.8])
+    m = detection_metrics(gt, pred, scores)
+    assert m["tp"] == 1 and m["precision"] == 0.5 and m["recall"] == 0.5
+    perfect = detection_metrics(gt, gt)
+    assert perfect["f1"] == 1.0
+
+
+def test_merge_by_key(ray_session):
+    import ray.data
+
+    from deepdoctection_ray.functions.merge import merge_by_key
+
+    left = ray.data.from_items(
+        [{"conv_id": "a", "turn_idx": 0, "extracted_text": "x"},
+         {"conv_id": "a", "turn_idx": 1, "extracted_text": "y"}]
+    )
+    right = ray.data.from_items(
+        [{"conv_id": "a", "turn_idx": 0, "lang_pred": "en", "extracted_text": "IGNORED"},
+         {"conv_id": "a", "turn_idx": 1, "lang_pred": "de", "extracted_text": "IGNORED"}]
+    )
+    merged = {(r["conv_id"], r["turn_idx"]): r for r in merge_by_key(left, right).take_all()}
+    assert merged[("a", 0)]["extracted_text"] == "x"  # left wins on clash
+    assert merged[("a", 0)]["lang_pred"] == "en"
+    assert merged[("a", 1)]["lang_pred"] == "de"
+
+
+def test_parse_xml_payload():
+    from deepdoctection_ray.kernels.xml_payload import xml_to_dict
+
+    xml = "<doc><title>T</title><body><p>one</p><p>two</p></body></doc>"
+    d = xml_to_dict(xml)
+    assert d["tag"] == "doc"
+    assert d["children"][0]["text"] == "T"
+    texts = [c["text"] for c in d["children"][1]["children"]]
+    assert texts == ["one", "two"]
