@@ -120,33 +120,41 @@ def extract_layout(
             children[text_block_ids[int(p)]].append(int(c))
             assigned[int(c)] = True
 
+    # ordering semantics run on RELATIVE coords: words/blocks carry relative
+    # base-frame embeddings after image_ann_to_image (image.py:843-844)
+    word_rel = (
+        B.to_relative(word_boxes, width, height) if word_boxes.shape[0] else word_boxes
+    )
+    word_rel_list = word_rel.tolist() if word_boxes.shape[0] else []
+
     # 3. residual words → synthetic lines
     residual = np.nonzero(~assigned)[0]
     line_entries: list[tuple[np.ndarray, list[int]]] = []
     if include_residuals and residual.size:
-        lines = make_text_lines(word_boxes[residual], width, height, True, paragraph_break)
+        lines = make_text_lines(word_rel[residual], 1.0, 1.0, True, paragraph_break, absolute=False)
         line_entries = [(box, [int(residual[m]) for m in members]) for box, members in lines]
 
     # 4. reading order over floating blocks + lines (relative coords)
-    floats: list[tuple[str, np.ndarray, list[int]]] = []  # (category, box, word ids)
+    floats: list[tuple[str, np.ndarray, list[int]]] = []  # (category, rel box, word ids)
     for i in surviving:
         if categories[i] in FLOATING_CATEGORIES:
-            floats.append((categories[i], block_boxes[i], children.get(i, [])))
+            floats.append(
+                (categories[i], B.to_relative(block_boxes[i : i + 1], width, height)[0], children.get(i, []))
+            )
     for box, members in line_entries:
         floats.append(("line", box, members))
     if not floats:
         return []
     float_boxes = np.stack([f[1] for f in floats])
-    order = order_blocks(B.to_relative(float_boxes, width, height))
+    order = order_blocks(float_boxes)
 
     # 5. word order within each block
-    word_box_list = word_boxes.tolist() if word_boxes.shape[0] else []
     out: list[Block] = []
     for fi in order:
         category, box, members = floats[fi]
         if not members:
             continue  # a block with no words contributes nothing to the text
-        word_order = group_words_into_lines([word_box_list[m] for m in members])
+        word_order = group_words_into_lines([word_rel_list[m] for m in members], absolute=False)
         out.append(
             Block(
                 category=category,

@@ -70,14 +70,18 @@ def blocks_from_words(
     """Words with geometry → reading-ordered blocks (steps 3–5 above)."""
     if word_boxes.shape[0] == 0:
         return []
-    box_list = word_boxes.tolist()
-    lines = make_text_lines(word_boxes, width, height, True, paragraph_break)
+    # ordering runs on RELATIVE coords: after image_ann_to_image every word's
+    # base-frame embedding is relative (image.py:843-844), so the real
+    # pipeline's line grouping sees unrounded relative floats
+    rel = B.to_relative(word_boxes, width, height)
+    rel_list = rel.tolist()
+    lines = make_text_lines(rel, 1.0, 1.0, True, paragraph_break, absolute=False)
     line_boxes = np.stack([box for box, _ in lines])
-    line_order = order_blocks(B.to_relative(line_boxes, width, height))
+    line_order = order_blocks(line_boxes)
     blocks: list[Block] = []
     for li in line_order:
         box, members = lines[li]
-        word_order = group_words_into_lines([box_list[m] for m in members])
+        word_order = group_words_into_lines([rel_list[m] for m in members], absolute=False)
         ordered_words = [texts[members[t[2]]] for t in word_order]
         blocks.append(
             Block(category="line", words=ordered_words, bbox=tuple(float(v) for v in box))

@@ -38,6 +38,13 @@ def group_words_into_lines(word_boxes: np.ndarray, absolute: bool = True) -> lis
     whose center its own band contains; row bounds are fixed by the first word
     that opened the row), then a sort by (row-rank-by-top, center-x).
 
+    ``absolute=False`` is the REAL-pipeline mode: after ``image_ann_to_image``
+    every word's base-frame embedding is stored relative
+    (``image.py:843-844``), so ``TextOrderService`` orders unrounded relative
+    floats. ``absolute=True`` replicates ordering directly on absolute boxes
+    (int-rounded centers, ``box.py:423-434``) for callers that skip the
+    embedding step.
+
     Returns:
         One triple per word: ``(reading_order, line_no, word_index)`` where
         ``reading_order`` is 1-based over all words of the block, ``line_no``
@@ -53,10 +60,19 @@ def group_words_into_lines(word_boxes: np.ndarray, absolute: bool = True) -> lis
     assigned: list[tuple[int, int, float]] = []  # (row_idx, word_idx, cx)
     rows: list[tuple[float, float]] = []  # (upper, lower), frozen at creation
     floor = math.floor
+    scale = float(B.REL_SCALE)
     for i in range(n):
         ulx, uly, lrx, lry = boxes[i]
-        cx = (ulx + lrx) / 2.0
-        cy = (uly + lry) / 2.0
+        # the exact float expressions matter at strict-comparison boundaries
+        # (1-ulp differences flip row tests): BoundingBox computes
+        # cx = ulx + 0.5*width where width = (_lrx-_ulx)/1e8 comes from the
+        # INTEGER fixed-point registers (box.py:385-434); reconstruct that
+        if absolute:
+            cx = ulx + 0.5 * (lrx - ulx)  # ints in float: exact
+            cy = uly + 0.5 * (lry - uly)
+        else:
+            cx = ulx + 0.5 * ((round(lrx * scale) - round(ulx * scale)) / scale)
+            cy = uly + 0.5 * ((round(lry * scale) - round(uly * scale)) / scale)
         if absolute:
             # BoundingBox.cx/.cy round half-up to ints for absolute coords
             # (box.py:423-434); the row-membership comparisons see the
@@ -176,8 +192,10 @@ def order_blocks(
     if n == 0:
         return []
     rel = block_boxes_rel.tolist()  # python floats: fast scalar access
-    cx = [(b[0] + b[2]) / 2.0 for b in rel]
-    cy = [(b[1] + b[3]) / 2.0 for b in rel]
+    scale = float(B.REL_SCALE)
+    # BoundingBox.cx/.cy with width/height from integer fixed-point registers
+    cx = [b[0] + 0.5 * ((round(b[2] * scale) - round(b[0] * scale)) / scale) for b in rel]
+    cy = [b[1] + 0.5 * ((round(b[3] * scale) - round(b[1] * scale)) / scale) for b in rel]
     scan = sorted(range(n), key=lambda i: (cy[i], cx[i]))  # order.py:231-236
 
     # greedy column building (order.py:237-291)
@@ -185,7 +203,7 @@ def order_blocks(
     columns: list[list[float]] = []  # mutable [ulx, uly, lrx, lry]
     for i in scan:
         bx0, by0, bx1, by1 = rel[i]
-        height = by1 - by0
+        height = (round(by1 * scale) - round(by0 * scale)) / scale  # register math
         placed = False
         for c, col in enumerate(columns):
             inside = (col[0] - starting_point_tolerance < bx0) and (

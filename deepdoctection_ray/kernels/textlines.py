@@ -40,11 +40,15 @@ def make_text_lines(
     height: float,
     make_sub_lines: bool = True,
     paragraph_break: float = PARAGRAPH_BREAK,
+    absolute: bool = True,
 ) -> list[tuple[np.ndarray, list[int]]]:
     """Build synthetic lines from word boxes — ``order.py:423-524``.
 
     Args:
-        word_boxes: ``[N, 4]`` absolute xyxy word boxes.
+        word_boxes: ``[N, 4]`` xyxy word boxes; pass RELATIVE boxes with
+            ``width=height=1.0, absolute=False`` to replicate the real
+            pipeline (words carry relative embeddings after
+            ``image_ann_to_image``, ``image.py:843-844``).
         width / height: page extent (for the relative gap threshold).
 
     Returns:
@@ -55,7 +59,9 @@ def make_text_lines(
     boxes = word_boxes.tolist() if hasattr(word_boxes, "tolist") else list(word_boxes)
     if not boxes:
         return []
-    return _lines_rec(boxes, list(range(len(boxes))), width, make_sub_lines, paragraph_break, True)
+    return _lines_rec(
+        boxes, list(range(len(boxes))), width, make_sub_lines, paragraph_break, True, absolute
+    )
 
 
 def _lines_rec(
@@ -65,8 +71,9 @@ def _lines_rec(
     make_sub_lines: bool,
     paragraph_break: float,
     highest_level: bool,
+    absolute: bool = True,
 ) -> list[tuple[np.ndarray, list[int]]]:
-    order = group_words_into_lines([boxes[i] for i in subset])
+    order = group_words_into_lines([boxes[i] for i in subset], absolute=absolute)
     n_rows = max(t[1] for t in order)
     if n_rows == 1 and not highest_level:
         return []  # order.py:456-457: single-row recursion → caller merges
@@ -92,7 +99,7 @@ def _lines_rec(
             if gap < paragraph_break:
                 segment.append(i)
             else:
-                nested = _lines_rec(boxes, segment, width, make_sub_lines, paragraph_break, False)
+                nested = _lines_rec(boxes, segment, width, make_sub_lines, paragraph_break, False, absolute)
                 if nested:
                     # a sub-line that itself spans rows keeps its nested split
                     # (order.py:499-503)
@@ -101,7 +108,7 @@ def _lines_rec(
                     out.append((_merge_list(boxes, segment), segment))
                     segment = [i]
             if pos == last:
-                nested = _lines_rec(boxes, segment, width, make_sub_lines, paragraph_break, False)
+                nested = _lines_rec(boxes, segment, width, make_sub_lines, paragraph_break, False, absolute)
                 if nested:
                     out.extend(nested)
                 else:
