@@ -144,3 +144,13 @@ def test_salted_skew_equals_unsalted(ray_session, small_transcripts, tmp_path):
             assert keys == sorted(keys)
     assert got_parts == expected_parts
     assert len(got_parts) >= 2
+
+
+def test_resume_with_everything_done_is_noop(ray_session, small_transcripts, tmp_path):
+    from deepdoctection_ray.pipelines.extraction import run_extraction
+
+    out_dir = str(tmp_path / "noop")
+    first = run_extraction(small_transcripts, out_dir, num_partitions=4)
+    again = run_extraction(small_transcripts, out_dir, num_partitions=4, resume=True)
+    assert again["partitions_skipped"] == first["partitions_written"]
+    assert again["rows_written"] == 0
