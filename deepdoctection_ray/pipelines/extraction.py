@@ -61,6 +61,38 @@ def extract_turns(
     )
 
 
+def assemble_conversations(
+    extracted: ray.data.Dataset,
+    separator: str = "\n\n",
+    with_roles: bool = True,
+) -> ray.data.Dataset:
+    """Extraction output → one row per conversation.
+
+    The cross-record analog of ``Page.text``: turns sort by ``turn_idx``
+    inside their conversation (groupby conv_id — order restored by key, never
+    by stream position) and join into one document, optionally with
+    ``[role]`` prefixes. Result: ``(conv_id, n_turns, conversation_text)``.
+    """
+
+    def per_conv(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("turn_idx", "ascending")])
+        texts = g["extracted_text"].to_pylist()
+        if with_roles:
+            roles = g["role"].to_pylist()
+            parts = [f"[{r}] {t}" if t else f"[{r}]" for r, t in zip(roles, texts)]
+        else:
+            parts = [t or "" for t in texts]
+        return pa.table(
+            {
+                "conv_id": g["conv_id"].slice(0, 1),
+                "n_turns": pa.array([g.num_rows], pa.int64()),
+                "conversation_text": pa.array([separator.join(parts)], pa.string()),
+            }
+        )
+
+    return extracted.groupby("conv_id").map_groups(per_conv, batch_format="pyarrow")
+
+
 class _ExtractAndWritePartitions:
     """Fused per-partition finisher: sort → extract → write → summary row.
 

@@ -619,6 +619,16 @@ def q_extract_layout(sf_dir: str) -> ray.data.Dataset:
     return out.select_columns(["doc_id", "payload_kind", "extracted_text"])
 
 
+def q_assemble_conversations(sf_dir: str) -> ray.data.Dataset:
+    """Conversation-level document assembly: turns sorted per conv_id and
+    joined with role prefixes (the cross-record Page.text analog)."""
+    from .pipelines.extraction import assemble_conversations, extract_turns, read_transcripts
+
+    ds = read_transcripts(_transcripts_dir())
+    out = extract_turns(ds, concurrency=(1, 4), batch_size=512)
+    return assemble_conversations(out)
+
+
 def q_conv_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-conversation stats over extraction output (groupby conv_id)."""
     from .pipelines.extraction import extract_turns, read_transcripts
@@ -671,6 +681,7 @@ def build_queries() -> dict:
         "q_extract_transcripts": q_extract_transcripts,
         "q_extract_layout": q_extract_layout,
         "q_conv_stats": q_conv_stats,
+        "q_assemble_conversations": q_assemble_conversations,
         "q_token_classes": q_token_classes,
         "q_doc_type": q_doc_type,
         "q_table_segment": q_table_segment,

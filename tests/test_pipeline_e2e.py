@@ -154,3 +154,19 @@ def test_resume_with_everything_done_is_noop(ray_session, small_transcripts, tmp
     again = run_extraction(small_transcripts, out_dir, num_partitions=4, resume=True)
     assert again["partitions_skipped"] == first["partitions_written"]
     assert again["rows_written"] == 0
+
+
+def test_assemble_conversations(ray_session):
+    import ray.data
+
+    from deepdoctection_ray.pipelines.extraction import assemble_conversations
+
+    rows = [
+        {"conv_id": "a", "turn_idx": 1, "role": "assistant", "extracted_text": "second"},
+        {"conv_id": "a", "turn_idx": 0, "role": "user", "extracted_text": "first"},
+        {"conv_id": "b", "turn_idx": 0, "role": "user", "extracted_text": "solo"},
+    ]
+    out = {r["conv_id"]: r for r in assemble_conversations(ray.data.from_items(rows)).take_all()}
+    assert out["a"]["conversation_text"] == "[user] first\n\n[assistant] second"
+    assert out["a"]["n_turns"] == 2
+    assert out["b"]["conversation_text"] == "[user] solo"
