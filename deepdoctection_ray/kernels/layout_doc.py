@@ -37,7 +37,7 @@ from . import boxes as B
 from .assemble import Block
 from .matching import MATCH_IOA_THRESHOLD, match_by_ioa, nms
 from .normalize import clean_token
-from .reading_order import PARAGRAPH_BREAK, group_words_into_lines, order_blocks
+from .reading_order import PARAGRAPH_BREAK, group_words_into_lines, order_blocks, rel_centers
 from .textlines import make_text_lines
 
 # view.py:963-971 — narrative-text block categories
@@ -126,13 +126,18 @@ def extract_layout(
         B.to_relative(word_boxes, width, height) if word_boxes.shape[0] else word_boxes
     )
     word_rel_list = word_rel.tolist() if word_boxes.shape[0] else []
+    word_centers = rel_centers(word_rel_list)
 
     # 3. residual words → synthetic lines
     residual = np.nonzero(~assigned)[0]
     line_entries: list[tuple[np.ndarray, list[int]]] = []
     if include_residuals and residual.size:
-        lines = make_text_lines(word_rel[residual], 1.0, 1.0, True, paragraph_break, absolute=False)
-        line_entries = [(box, [int(residual[m]) for m in members]) for box, members in lines]
+        res_idx = [int(r) for r in residual]
+        lines = make_text_lines(
+            [word_rel_list[r] for r in res_idx], 1.0, 1.0, True, paragraph_break,
+            absolute=False, centers=[word_centers[r] for r in res_idx],
+        )
+        line_entries = [(box, [res_idx[m] for m in members]) for box, members in lines]
 
     # 4. reading order over floating blocks + lines (relative coords)
     floats: list[tuple[str, np.ndarray, list[int]]] = []  # (category, rel box, word ids)
@@ -154,7 +159,10 @@ def extract_layout(
         category, box, members = floats[fi]
         if not members:
             continue  # a block with no words contributes nothing to the text
-        word_order = group_words_into_lines([word_rel_list[m] for m in members], absolute=False)
+        word_order = group_words_into_lines(
+            [word_rel_list[m] for m in members], absolute=False,
+            centers=[word_centers[m] for m in members],
+        )
         out.append(
             Block(
                 category=category,

@@ -31,7 +31,7 @@ import numpy as np
 from . import boxes as B
 from .assemble import Block
 from .normalize import clean_token
-from .reading_order import PARAGRAPH_BREAK, group_words_into_lines, order_blocks
+from .reading_order import PARAGRAPH_BREAK, group_words_into_lines, order_blocks, rel_centers
 from .textlines import make_text_lines
 
 
@@ -75,13 +75,17 @@ def blocks_from_words(
     # pipeline's line grouping sees unrounded relative floats
     rel = B.to_relative(word_boxes, width, height)
     rel_list = rel.tolist()
-    lines = make_text_lines(rel, 1.0, 1.0, True, paragraph_break, absolute=False)
+    centers = rel_centers(rel_list)  # hoisted: ordering calls reuse them
+    lines = make_text_lines(rel_list, 1.0, 1.0, True, paragraph_break, absolute=False, centers=centers)
     line_boxes = np.stack([box for box, _ in lines])
     line_order = order_blocks(line_boxes)
     blocks: list[Block] = []
     for li in line_order:
         box, members = lines[li]
-        word_order = group_words_into_lines([rel_list[m] for m in members], absolute=False)
+        word_order = group_words_into_lines(
+            [rel_list[m] for m in members], absolute=False,
+            centers=[centers[m] for m in members],
+        )
         ordered_words = [texts[members[t[2]]] for t in word_order]
         blocks.append(
             Block(category="line", words=ordered_words, bbox=tuple(float(v) for v in box))

@@ -30,7 +30,24 @@ PARAGRAPH_BREAK = 0.035
 IOA_COLUMN_THRESHOLD = 0.9  # order.py:68
 
 
-def group_words_into_lines(word_boxes: np.ndarray, absolute: bool = True) -> list[tuple[int, int, int]]:
+def rel_centers(boxes: list[list[float]]) -> list[tuple[float, float]]:
+    """(cx, cy) per relative box with BoundingBox's exact fixed-point float
+    expression (``box.py:385-434``); hoist this out of repeated ordering calls."""
+    scale = float(B.REL_SCALE)
+    return [
+        (
+            b[0] + 0.5 * ((round(b[2] * scale) - round(b[0] * scale)) / scale),
+            b[1] + 0.5 * ((round(b[3] * scale) - round(b[1] * scale)) / scale),
+        )
+        for b in boxes
+    ]
+
+
+def group_words_into_lines(
+    word_boxes: np.ndarray,
+    absolute: bool = True,
+    centers: list[tuple[float, float]] | None = None,
+) -> list[tuple[int, int, int]]:
     """Arrange word boxes into lines and produce a within-block reading order.
 
     Mirrors ``order.py:72-132``: greedy row assignment in input order (a word
@@ -67,7 +84,10 @@ def group_words_into_lines(word_boxes: np.ndarray, absolute: bool = True) -> lis
         # (1-ulp differences flip row tests): BoundingBox computes
         # cx = ulx + 0.5*width where width = (_lrx-_ulx)/1e8 comes from the
         # INTEGER fixed-point registers (box.py:385-434); reconstruct that
-        if absolute:
+        # (or take the caller's pre-computed centers)
+        if centers is not None:
+            cx, cy = centers[i]
+        elif absolute:
             cx = ulx + 0.5 * (lrx - ulx)  # ints in float: exact
             cy = uly + 0.5 * (lry - uly)
         else:

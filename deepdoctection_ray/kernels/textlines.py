@@ -41,6 +41,7 @@ def make_text_lines(
     make_sub_lines: bool = True,
     paragraph_break: float = PARAGRAPH_BREAK,
     absolute: bool = True,
+    centers: list[tuple[float, float]] | None = None,
 ) -> list[tuple[np.ndarray, list[int]]]:
     """Build synthetic lines from word boxes — ``order.py:423-524``.
 
@@ -60,7 +61,8 @@ def make_text_lines(
     if not boxes:
         return []
     return _lines_rec(
-        boxes, list(range(len(boxes))), width, make_sub_lines, paragraph_break, True, absolute
+        boxes, list(range(len(boxes))), width, make_sub_lines, paragraph_break, True, absolute,
+        centers,
     )
 
 
@@ -72,8 +74,13 @@ def _lines_rec(
     paragraph_break: float,
     highest_level: bool,
     absolute: bool = True,
+    centers: list[tuple[float, float]] | None = None,
 ) -> list[tuple[np.ndarray, list[int]]]:
-    order = group_words_into_lines([boxes[i] for i in subset], absolute=absolute)
+    order = group_words_into_lines(
+        [boxes[i] for i in subset],
+        absolute=absolute,
+        centers=None if centers is None else [centers[i] for i in subset],
+    )
     n_rows = max(t[1] for t in order)
     if n_rows == 1 and not highest_level:
         return []  # order.py:456-457: single-row recursion → caller merges
@@ -99,7 +106,7 @@ def _lines_rec(
             if gap < paragraph_break:
                 segment.append(i)
             else:
-                nested = _lines_rec(boxes, segment, width, make_sub_lines, paragraph_break, False, absolute)
+                nested = _lines_rec(boxes, segment, width, make_sub_lines, paragraph_break, False, absolute, centers)
                 if nested:
                     # a sub-line that itself spans rows keeps its nested split
                     # (order.py:499-503)
@@ -108,7 +115,7 @@ def _lines_rec(
                     out.append((_merge_list(boxes, segment), segment))
                     segment = [i]
             if pos == last:
-                nested = _lines_rec(boxes, segment, width, make_sub_lines, paragraph_break, False, absolute)
+                nested = _lines_rec(boxes, segment, width, make_sub_lines, paragraph_break, False, absolute, centers)
                 if nested:
                     out.extend(nested)
                 else:
