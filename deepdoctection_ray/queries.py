@@ -392,6 +392,33 @@ FROM documents
 """
 
 
+def q_quality_filter(sf_dir: str) -> ray.data.Dataset:
+    """Quality filtering: keep documents passing token-count and punctuation
+    thresholds — the filter stage every training-data pipeline runs after
+    scoring. Vectorized RE2 predicate, no row crosses the stage unfiltered."""
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        scored = ts.quality_stats(batch)
+        mask = pc.and_(
+            pc.greater_equal(scored["n_tokens"], pa.scalar(5, pa.int64())),
+            pc.less_equal(scored["punct_ratio"], pa.scalar(0.2)),
+        )
+        return scored.filter(mask).select(["doc_id", "n_tokens"])
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+Q_QUALITY_FILTER_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+FROM documents
+WHERE len(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 5
+  AND round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+            / greatest(length(text), 1)::DOUBLE, 6) <= 0.2
+"""
+
+
 def q_doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(ts.fingerprint, batch_format="pyarrow").select_columns(
@@ -667,6 +694,7 @@ def build_queries() -> dict:
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_doc_tokens": q_doc_tokens,
         "q_doc_quality": q_doc_quality,
+        "q_quality_filter": q_quality_filter,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_dedup_exact": q_dedup_exact,
         "q_doc_stats_by_source": q_doc_stats_by_source,
@@ -702,6 +730,7 @@ def build_oracle_sql() -> dict:
         "q_events_asof": Q_ASOF_SQL,
         "q_doc_tokens": Q_DOC_TOKENS_SQL,
         "q_doc_quality": Q_DOC_QUALITY_SQL,
+        "q_quality_filter": Q_QUALITY_FILTER_SQL,
         "q_doc_fingerprint": Q_DOC_FP_SQL,
         "q_dedup_exact": Q_DEDUP_EXACT_SQL,
         "q_doc_stats_by_source": Q_DOC_STATS_SQL,
