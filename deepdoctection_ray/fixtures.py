@@ -1,0 +1,143 @@
+"""Deterministic fixture + golden tables backing the oracle SQL of queries
+whose inputs are synthesized (transcripts, layout docs, table docs) or whose
+semantics need seeded near-duplicates (embedding dedup).
+
+Two kinds of parquet land under ``FIXTURE_DIR``:
+
+- *input fixtures* (``table_docs``, ``layout_docs``, ``transcripts`` via
+  :func:`deepdoctection_ray.synth.write_transcripts`, ``neardup_vecs``):
+  regenerated from fixed seeds, identical bytes every run. The oracle SQL
+  reads them with ``read_parquet('<path>')`` and re-derives the expected
+  result independently (e.g. table segmentation from the construction truth
+  embedded in cell texts).
+- *golden outputs* (``golden_turns``, ``golden_layout``, ``golden_doc_type``):
+  produced by running the SINGLE-THREADED kernel over the input fixture on
+  one thread with no Ray. The extraction kernel itself is independently
+  fuzz-verified against the reference implementation
+  (``tests/test_reference_parity.py``, 0/1000 mismatches), so a golden-backed
+  oracle checks what SQL cannot express — that the distributed plumbing
+  (shuffles, actor pools, ordering restoration, dead-lettering) reproduces
+  the single-threaded result exactly.
+
+Both ``queries()`` and ``oracle_sql()`` call :func:`ensure_fixtures`;
+whichever the driver invokes first pays the (sub-second) generation cost.
+Generation needs NO Ray session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+FIXTURE_DIR = "/tmp/ddray_fixtures"
+_VERSION = 2
+
+TRANSCRIPTS_DIR = "/tmp/ddray_transcripts_small"
+N_CONVS, SEED, HOT = 60, 42, 10
+N_LAYOUT, N_TABLE = 300, 200
+
+
+def path(name: str) -> str:
+    return os.path.join(FIXTURE_DIR, f"{name}.parquet")
+
+
+def make_neardup_vecs(dim: int = 64, n_base: int = 20, seed: int = 123) -> pa.Table:
+    """Seeded unit vectors with one near-duplicate each (cosine ~0.96-0.99), so
+    the embedding-dedup query returns a non-vacuous, known pair set.
+    vec_ids start at 1_000_000 to stay clear of the sf tables' ids."""
+    rng = np.random.RandomState(seed)
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noisy = base + 0.03 * rng.standard_normal((n_base, dim))
+    noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+    vecs = np.concatenate([base, noisy]).astype(np.float32)
+    ids = np.concatenate(
+        [np.arange(n_base), np.arange(n_base) + n_base]
+    ) + 1_000_000
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * (2 * n_base), pa.int32()),
+        }
+    )
+
+
+def _golden_turns(transcripts: pa.Table) -> pa.Table:
+    """Single-threaded golden extraction of the transcript fixture (one
+    ``extract_turn`` call per row, no Ray) — includes ``role`` so the
+    conversation-assembly oracle can re-derive role prefixes in SQL."""
+    from .kernels.extract import extract_turn
+
+    rows = sorted(
+        zip(
+            transcripts["conv_id"].to_pylist(),
+            transcripts["turn_idx"].to_pylist(),
+            transcripts["role"].to_pylist(),
+            transcripts["text"].to_pylist(),
+        )
+    )
+    conv, tix, role, kind, text = [], [], [], [], []
+    for cid, t, r, payload in rows:
+        res = extract_turn(payload)
+        conv.append(cid)
+        tix.append(t)
+        role.append(r)
+        kind.append(res["payload_kind"])
+        text.append(res["extracted_text"])
+    return pa.table(
+        {
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(tix, pa.int32()),
+            "role": pa.array(role, pa.string()),
+            "payload_kind": pa.array(kind, pa.string()),
+            "extracted_text": pa.array(text, pa.string()),
+        }
+    )
+
+
+def ensure_fixtures() -> str:
+    """Write all fixture/golden parquet under FIXTURE_DIR (idempotent)."""
+    from .stages.classify import SequenceClassifier
+    from .stages.extract import TurnExtractor
+    from .synth import make_layout_docs, make_table_docs, make_transcripts, write_transcripts
+
+    marker = os.path.join(FIXTURE_DIR, "_meta.json")
+    meta = {"v": _VERSION, "n_convs": N_CONVS, "seed": SEED, "hot": HOT,
+            "n_layout": N_LAYOUT, "n_table": N_TABLE}
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                if json.load(fh) == meta:
+                    write_transcripts(TRANSCRIPTS_DIR, n_convs=N_CONVS, seed=SEED, hot_factor=HOT)
+                    return FIXTURE_DIR
+        except Exception:
+            pass
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+
+    write_transcripts(TRANSCRIPTS_DIR, n_convs=N_CONVS, seed=SEED, hot_factor=HOT)
+    transcripts = make_transcripts(n_convs=N_CONVS, seed=SEED, hot_factor=HOT)
+
+    pq.write_table(_golden_turns(transcripts), path("golden_turns"))
+
+    layout = make_layout_docs(N_LAYOUT, seed=SEED)
+    pq.write_table(layout, path("layout_docs"))
+    extracted = TurnExtractor()(layout)  # one batch, current thread — no Ray
+    pq.write_table(
+        extracted.select(["doc_id", "payload_kind", "extracted_text"]), path("golden_layout")
+    )
+    typed = SequenceClassifier()(extracted)
+    pq.write_table(typed.select(["doc_id", "doc_type"]), path("golden_doc_type"))
+
+    pq.write_table(make_table_docs(N_TABLE, seed=SEED), path("table_docs"))
+    pq.write_table(make_neardup_vecs(), path("neardup_vecs"))
+
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, marker)
+    return FIXTURE_DIR

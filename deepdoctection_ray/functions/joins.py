@@ -32,28 +32,120 @@ def broadcast_join(
     how: str = "inner",
 ) -> ray.data.Dataset:
     """Inner/left join of ``ds`` against a driver-side mapping
-    ``key -> {col: value}``; the mapping is shipped once via ``ray.put``."""
+    ``key -> {col: value}``; the mapping is shipped once via ``ray.put``.
+
+    The probe is Arrow-native: the small side becomes key/value arrays once
+    per actor in ``__init__``; per batch one ``pc.index_in`` + ``pc.take``
+    per value column — vectorized C, null-for-miss gives left-join for free.
+    """
     assert how in ("inner", "left")
     ref = ray.put(dict(small))
 
     class Join:
         def __init__(self) -> None:
-            self._lookup = ray.get(ref)
+            lookup = ray.get(ref)
+            keys = list(lookup)
+            self._keys = pa.array(keys)
+            self._values = {
+                col: pa.array([lookup[k][col] for k in keys], typ)
+                for col, typ in value_columns.items()
+            }
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch[key_column].to_pylist()
-            hits = [self._lookup.get(k) for k in keys]
+            idx = pc.index_in(batch[key_column], value_set=self._keys)
             if how == "inner":
-                mask = pa.array([h is not None for h in hits])
+                mask = idx.is_valid()
                 batch = batch.filter(mask)
-                hits = [h for h in hits if h is not None]
-            for col, typ in value_columns.items():
-                batch = batch.append_column(
-                    col, pa.array([h[col] if h else None for h in hits], typ)
-                )
+                idx = idx.filter(mask)
+            for col, vals in self._values.items():
+                batch = batch.append_column(col, pc.take(vals, idx))
             return batch
 
     return ds.map_batches(Join, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Materialize a (small, post-shuffle) dataset and rebuild it from its
+    non-empty blocks only.
+
+    Ray's ``groupby().map_groups()`` yields NOTHING for empty sort
+    partitions, so its output can contain schema-less empty blocks; Acero
+    (the kernel behind ``Dataset.join``) fails a join partition whose
+    concatenated input lacks the key column. ``map_batches`` cannot repair
+    them — Ray skips empty blocks without calling the UDF — so the dataset is
+    rebuilt from the surviving block REFS (driver touches metadata only; the
+    data never leaves the object store). Apply to aggregate/candidate-sized
+    datasets that feed a join, not to raw fact streams.
+    """
+    mat = ds.materialize()
+    refs = [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows
+    ]
+    if not refs:
+        return mat
+    return ray.data.from_arrow_refs(refs)
+
+
+def _bucket_of(keys, num_buckets: int):
+    """Vectorized stable bucket assignment for a key column (any dtype)."""
+    import numpy as np
+    import pandas as pd
+
+    arr = np.asarray(keys)
+    return (pd.util.hash_array(arr) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_column: str,
+    right_columns: list[str] | None = None,
+    how: str = "inner",
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Bucketed large×large hash join — neither side is materialized on the
+    driver or broadcast.
+
+    Thin policy wrapper over the native ``Dataset.join`` (Ray ≥ 2.47's
+    hash-partitioned shuffle join): both sides hash-partition on the key into
+    ``num_buckets`` independent partitions, each joined by an aggregator —
+    nothing is materialized on the driver or broadcast. The reference engine
+    has no cross-record join at all (``custom_serialize.py:349-375`` is an
+    in-memory COCO join), so this surface is native to the Ray rebuild.
+
+    Partitioning assumptions (documented for the 100-TB target):
+    - ``num_buckets`` must be sized so (left+right)/num_buckets fits an
+      aggregator's heap; partitions join independently. Each partition costs
+      an aggregator actor slot (0.125 CPU), so on a real cluster raise
+      ``num_buckets`` well above the sandbox default of 8 — the default is
+      sized so joins never starve a small ``ray.init(num_cpus=4)`` test
+      session of CPU slots (aggregators deadlock if they cannot all start);
+    - a single hot KEY cannot be split across partitions (join semantics);
+      skew within a key should be pre-aggregated away before the join (see
+      q_orders_by_segment: orders collapse to one row per custkey first).
+
+    ``how``: 'inner' | 'left' | 'semi' | 'anti' (semi/anti return left
+    columns only); ``right_columns`` prunes the right side before the
+    exchange.
+    """
+    join_type = {
+        "inner": "inner",
+        "left": "left_outer",
+        "semi": "left_semi",
+        "anti": "left_anti",
+    }[how]
+    if how in ("semi", "anti"):
+        r = right.select_columns([key_column])
+    elif right_columns is not None:
+        r = right.select_columns(
+            [key_column] + [c for c in right_columns if c != key_column]
+        )
+    else:
+        r = right
+    return left.join(r, join_type=join_type, num_partitions=num_buckets, on=(key_column,))
 
 
 def asof_join(

@@ -39,7 +39,10 @@ def completed_partitions(output_dir: str) -> set[int]:
     done = set()
     for name in names:
         if name.startswith("_SUCCESS."):
-            i = int(name.split(".", 1)[1])
+            try:
+                i = int(name.split(".", 1)[1])
+            except ValueError:
+                continue  # stray non-numeric suffix (e.g. crash leftovers)
             if PART_FMT.format(i=i) in names:
                 done.add(i)
     return done
@@ -57,17 +60,36 @@ def clear_output(output_dir: str) -> None:
 def write_partition(output_dir: str, part_id: int, table: pa.Table, extra_lineage: dict | None = None) -> dict:
     """Atomically write one partition + lineage + marker; returns the lineage.
 
-    Refuses to re-finalize a partition whose success marker already exists:
-    inside one run that means a partition's rows arrived in two different
+    Duplicate-finalize handling: Ray retries failed ``map_groups`` tasks, so a
+    worker killed after finalizing but before its output block commits may
+    legitimately re-run. If the success marker exists and the already-written
+    partition holds *identical content*, the re-write is silently skipped (the
+    retry case — content-hash ids make retried output byte-stable). A marker
+    with *different* content means a partition's rows arrived in two different
     writer tasks (an input block split — size ``num_partitions`` so a
     partition stays under ``target_max_block_size``), which would silently
-    drop rows if allowed. Crash leftovers carry no marker and overwrite fine.
+    drop rows if allowed — that stays a hard error.
     """
     os.makedirs(output_dir, exist_ok=True)
     if os.path.exists(os.path.join(output_dir, MARKER_FMT.format(i=part_id))):
+        existing_path = os.path.join(output_dir, PART_FMT.format(i=part_id))
+        try:
+            existing = pq.read_table(existing_path)
+        except Exception:
+            existing = None
+        canon = table.sort_by([(c, "ascending") for c in table.column_names[:2]]) if table.num_rows else table
+        if existing is not None and existing.num_rows == table.num_rows:
+            ex_canon = (
+                existing.sort_by([(c, "ascending") for c in existing.column_names[:2]])
+                if existing.num_rows
+                else existing
+            )
+            if ex_canon.equals(canon):
+                with open(os.path.join(output_dir, LINEAGE_FMT.format(i=part_id))) as fh:
+                    return json.load(fh)  # idempotent task retry: keep first write
         raise RuntimeError(
-            f"partition {part_id} already finalized in {output_dir}; "
-            "duplicate write detected (block split or dirty output dir)"
+            f"partition {part_id} already finalized in {output_dir} with different "
+            "content; duplicate write detected (block split or dirty output dir)"
         )
     tmp = os.path.join(output_dir, f".tmp-{part_id}-{uuid.uuid4().hex}")
     pq.write_table(table, tmp)
@@ -94,11 +116,14 @@ def write_partition(output_dir: str, part_id: int, table: pa.Table, extra_lineag
     with open(lin_tmp, "w") as fh:
         json.dump(lineage, fh)
     os.replace(lin_tmp, os.path.join(output_dir, LINEAGE_FMT.format(i=part_id)))
-    # marker last: its presence implies data + lineage are on disk
+    # marker last: its presence implies data + lineage are on disk. The temp
+    # name must NOT share the '_SUCCESS.' prefix, or a crash between write and
+    # rename would leave a file that completed_partitions() tries to parse.
     marker = os.path.join(output_dir, MARKER_FMT.format(i=part_id))
-    with open(marker + ".tmp", "w") as fh:
+    marker_tmp = os.path.join(output_dir, f".tmp-marker-{part_id}-{uuid.uuid4().hex}")
+    with open(marker_tmp, "w") as fh:
         fh.write("ok")
-    os.replace(marker + ".tmp", marker)
+    os.replace(marker_tmp, marker)
     return lineage
 
 

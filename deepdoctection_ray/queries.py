@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from .functions.aggregates import grouped_sums
+from .functions.aggregates import grouped_int_sums, grouped_sums
 from .functions.joins import broadcast_join, semi_join
 from .stages import dedup as dd
 from .stages import similarity as sim
@@ -42,11 +42,20 @@ def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
 # ------------------------------------------------------------ relational core
 
 
+def _cents(col, scale: int = 100) -> pa.ChunkedArray:
+    """Money double → exact int64 scaled units (inputs are 2-decimal money;
+    the *100 product is ~1e-9 from an integer, so the round is exact)."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(float(scale)))), pa.int64())
+
+
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1 shape: filtered scan → grouped sums/averages.
 
     Prunes to 7 columns at the read, filters vectorized, pre-aggregates per
-    batch; the shuffle carries one row per (flag, status, batch).
+    batch. Money is scaled to exact int64 units (cents / 1e-4 / 1e-6) before
+    aggregation, so sums are EXACT at any scale factor — no float-accumulation
+    drift near a rounding boundary; the oracle sums the same integers
+    (DuckDB's BIGINT sum uses a HUGEINT accumulator).
     """
     cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
     ds = _t(
@@ -60,50 +69,60 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
     def prep(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
-        disc_price = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), batch["l_tax"]))
-        batch = batch.append_column("disc_price", disc_price)
-        batch = batch.append_column("charge", charge)
-        return batch.select(
-            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-             "l_discount", "disc_price", "charge"]
+        qty = pc.cast(pc.round(batch["l_quantity"]), pa.int64())  # quantities are integral
+        price_c = _cents(batch["l_extendedprice"])
+        disc_c = _cents(batch["l_discount"])
+        tax_c = _cents(batch["l_tax"])
+        disc_price_u = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        charge_u = pc.multiply(disc_price_u, pc.add(pa.scalar(100, pa.int64()), tax_c))
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": qty,
+                "price_c": price_c,
+                "disc_c": disc_c,
+                "disc_price_u": disc_price_u,
+                "charge_u": charge_u,
+            }
         )
 
-    agg = grouped_sums(
+    agg = grouped_int_sums(
         ds.map_batches(prep, batch_format="pyarrow"),
         keys=["l_returnflag", "l_linestatus"],
-        sum_columns=["l_quantity", "l_extendedprice", "disc_price", "charge", "l_discount"],
+        int_columns=["qty", "price_c", "disc_c", "disc_price_u", "charge_u"],
         count_alias="count_order",
     )
     df = agg.to_pandas()
-    df["avg_qty"] = df["sum_l_quantity"] / df["count_order"]
-    df["avg_price"] = df["sum_l_extendedprice"] / df["count_order"]
-    df["avg_disc"] = df["sum_l_discount"] / df["count_order"]
-    df = df.rename(
-        columns={
-            "sum_l_quantity": "sum_qty",
-            "sum_l_extendedprice": "sum_base_price",
-            "sum_disc_price": "sum_disc_price",
-            "sum_charge": "sum_charge",
-        }
-    ).drop(columns=["sum_l_discount"])
-    df = _round(df, {"sum_qty": 4, "sum_base_price": 4, "sum_disc_price": 4, "sum_charge": 4,
-                     "avg_qty": 6, "avg_price": 6, "avg_disc": 6})
+    # single int→double conversion happened in the combiner; the divisions
+    # below mirror the oracle's op order exactly, so values are bit-identical
+    df["sum_base_price"] = df["sum_price_c"] / 100.0
+    df["sum_disc_price"] = df["sum_disc_price_u"] / 10000.0
+    df["sum_charge"] = df["sum_charge_u"] / 1000000.0
+    df["avg_qty"] = df["sum_qty"] / df["count_order"]
+    df["avg_price"] = df["sum_base_price"] / df["count_order"]
+    df["avg_disc"] = df["sum_disc_c"] / 100.0 / df["count_order"]
     cols = ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price",
             "sum_charge", "avg_qty", "avg_price", "avg_disc", "count_order"]
     return df[cols].sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
-Q1_SQL = """
+# integer-unit money expressions shared by the relational oracles: exact at
+# any SF (see q1 docstring); DuckDB sums BIGINT into a HUGEINT accumulator
+_PRICE_C = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_DISC_C = "CAST(round(l_discount * 100) AS BIGINT)"
+_TAX_C = "CAST(round(l_tax * 100) AS BIGINT)"
+
+Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4)                                    AS sum_qty,
-       round(sum(l_extendedprice), 4)                               AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4)            AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-       round(avg(l_quantity), 6)                                    AS avg_qty,
-       round(avg(l_extendedprice), 6)                               AS avg_price,
-       round(avg(l_discount), 6)                                    AS avg_disc,
-       count(*)                                                     AS count_order
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)        AS sum_qty,
+       CAST(sum({_PRICE_C}) AS DOUBLE) / 100.0                       AS sum_base_price,
+       CAST(sum({_PRICE_C} * (100 - {_DISC_C})) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(sum({_PRICE_C} * (100 - {_DISC_C}) * (100 + {_TAX_C})) AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum({_PRICE_C}) AS DOUBLE) / 100.0 / count(*)            AS avg_price,
+       CAST(sum({_DISC_C}) AS DOUBLE) / 100.0 / count(*)             AS avg_disc,
+       count(*)                                                      AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -112,51 +131,75 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q3 shape: two broadcast joins (dimension side small) + grouped
-    revenue + deterministic top-10."""
-    cut = pd.Timestamp("1998-01-01")
-    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    cust_keys = [
-        r["c_custkey"]
-        for r in cust.map_batches(
-            lambda b: b.filter(pc.equal(b["c_mktsegment"], pa.scalar("BUILDING"))),
+    """TPC-H Q3 shape: two BUCKETED hash joins (customer and orders are
+    fact-scale at SF100 — nothing fact-derived is materialized on the driver)
+    + exact int-unit revenue + a partial-top-k final.
+
+    Join plan: orders ⋉ building-customers (bucketed semi) → lineitem ⋈
+    filtered-orders (bucketed inner, carrying date/priority) → grouped exact
+    revenue → per-batch top-10 partials → driver merges ≤ 10×#batches rows.
+    """
+    from .functions.joins import hash_join
+
+    cut = pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
+    cust_b = (
+        _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["c_mktsegment"], pa.scalar("BUILDING"))).select(
+                ["c_custkey"]
+            ),
             batch_format="pyarrow",
-        ).take_all()
-    ]
-    orders = semi_join(
-        _t(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]),
-        cust_keys,
-        "o_custkey",
-    ).map_batches(
-        lambda b: b.filter(pc.less(b["o_orderdate"], pa.scalar(cut, pa.timestamp("us")))),
-        batch_format="pyarrow",
+        )
+        .rename_columns({"c_custkey": "o_custkey"})
     )
-    order_rows = orders.take_all()  # small after both filters; broadcast
-    order_map = {
-        r["o_orderkey"]: {"o_orderdate": r["o_orderdate"], "o_orderpriority": r["o_orderpriority"]}
-        for r in order_rows
-    }
+    orders = _t(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(pc.less(b["o_orderdate"], cut)), batch_format="pyarrow"
+    )
+    orders_b = hash_join(orders, cust_b, "o_custkey", [], how="semi")
+
     line = _t(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
     def prep(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(cut, pa.timestamp("us"))))
-        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        return pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+        batch = batch.filter(pc.greater(batch["l_shipdate"], cut))
+        rev_u = pc.multiply(
+            _cents(batch["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(batch["l_discount"])),
+        )
+        return pa.table({"l_orderkey": batch["l_orderkey"], "rev_u": rev_u})
 
-    joined = semi_join(
-        line.map_batches(prep, batch_format="pyarrow"), list(order_map), "l_orderkey"
+    odim = orders_b.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"]).rename_columns(
+        {"o_orderkey": "l_orderkey"}
     )
-    agg = grouped_sums(joined, ["l_orderkey"], ["rev"], count_alias=None).to_pandas()
-    agg["revenue"] = agg["sum_rev"].round(4)
-    agg["o_orderdate"] = agg["l_orderkey"].map(lambda k: order_map[k]["o_orderdate"])
-    agg["o_orderpriority"] = agg["l_orderkey"].map(lambda k: order_map[k]["o_orderpriority"])
-    agg = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
-    return agg[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]].reset_index(drop=True)
+    joined = hash_join(
+        line.map_batches(prep, batch_format="pyarrow"),
+        odim,
+        "l_orderkey",
+        ["o_orderdate", "o_orderpriority"],
+        how="inner",
+    )
+    agg = grouped_int_sums(
+        joined,
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        ["rev_u"],
+        count_alias=None,
+        as_float=False,
+    )
+
+    def local_top10(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["sum_rev_u", "l_orderkey"], ascending=[False, True]).head(10)
+
+    # partial top-10 per batch upstream; the driver merges only 10×#batches rows
+    partials = agg.map_batches(local_top10, batch_format="pandas").to_pandas()
+    top = partials.sort_values(["sum_rev_u", "l_orderkey"], ascending=[False, True]).head(10)
+    top["revenue"] = top["sum_rev_u"].astype(float) / 10000.0
+    return top[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]].reset_index(drop=True)
 
 
-Q3_SQL = """
+Q3_SQL = f"""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(sum({_PRICE_C} * (100 - {_DISC_C})) AS DOUBLE) / 10000.0 AS revenue,
        o_orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -170,30 +213,48 @@ LIMIT 10
 
 
 def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
-    """Star join through broadcast dimensions: lineitem → supplier → nation →
-    region, revenue per region name."""
+    """Star join: region/nation stay broadcast dictionaries (25/5 rows —
+    genuinely small), but the supplier leg (1M rows at SF100) goes through the
+    BUCKETED hash join, with lineitem pre-aggregated to one row per suppkey
+    first so the fact side of the shuffle is dimension-sized."""
+    from .functions.joins import hash_join
+
     region = {r["r_regionkey"]: r["r_name"] for r in _t(sf_dir, "region").take_all()}
     nation = {
-        n["n_nationkey"]: region[n["n_regionkey"]] for n in _t(sf_dir, "nation").take_all()
+        n["n_nationkey"]: {"r_name": region[n["n_regionkey"]]}
+        for n in _t(sf_dir, "nation").take_all()
     }
-    supplier = {
-        s["s_suppkey"]: {"r_name": nation[s["s_nationkey"]]}
-        for s in _t(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).take_all()
-    }
+    supplier_r = broadcast_join(
+        _t(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]),
+        nation,
+        "s_nationkey",
+        {"r_name": pa.string()},
+    ).select_columns(["s_suppkey", "r_name"]).rename_columns({"s_suppkey": "l_suppkey"})
+
     line = _t(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
 
     def prep(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        return pa.table({"l_suppkey": batch["l_suppkey"], "rev": rev})
+        rev_u = pc.multiply(
+            _cents(batch["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(batch["l_discount"])),
+        )
+        return pa.table({"l_suppkey": batch["l_suppkey"], "rev_u": rev_u})
 
-    joined = broadcast_join(
+    per_supp = grouped_int_sums(
         line.map_batches(prep, batch_format="pyarrow"),
-        supplier,
-        "l_suppkey",
-        {"r_name": pa.string()},
+        ["l_suppkey"], ["rev_u"], count_alias="n_items", as_float=False,
     )
-    df = grouped_sums(joined, ["r_name"], ["rev"], count_alias="n_items").to_pandas()
-    df["revenue"] = df["sum_rev"].round(4)
+    # per_supp comes out of a map_groups combine — scrub the schema-less
+    # empty blocks it may carry before the Acero join (see drop_empty_blocks)
+    from .functions.joins import drop_empty_blocks
+
+    joined = hash_join(drop_empty_blocks(per_supp), supplier_r, "l_suppkey", ["r_name"], how="inner")
+    final = grouped_int_sums(
+        joined, ["r_name"], ["sum_rev_u", "n_items"], count_alias=None, as_float=True
+    )
+    df = final.to_pandas()
+    df["revenue"] = df["sum_sum_rev_u"] / 10000.0
+    df["n_items"] = df["sum_n_items"].astype("int64")
     return (
         df[["r_name", "revenue", "n_items"]]
         .sort_values("r_name")
@@ -201,9 +262,9 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
     )
 
 
-Q5_SQL = """
+Q5_SQL = f"""
 SELECT r_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(sum({_PRICE_C} * (100 - {_DISC_C})) AS DOUBLE) / 10000.0 AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               JOIN nation   ON s_nationkey = n_nationkey
@@ -214,19 +275,40 @@ ORDER BY r_name
 
 
 def q_orders_by_segment(sf_dir: str) -> pd.DataFrame:
-    cust = {
-        r["c_custkey"]: {"c_mktsegment": r["c_mktsegment"]}
-        for r in _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).take_all()
-    }
+    """Orders × customer (both fact-scale at SF100): orders pre-aggregate to
+    one row per custkey inside ``map_batches``, then ONE bucketed hash join
+    against customer — no driver-side dict of 15M customers."""
+    from .functions.joins import hash_join
+
     orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    joined = broadcast_join(orders, cust, "o_custkey", {"c_mktsegment": pa.string()})
-    df = grouped_sums(joined, ["c_mktsegment"], ["o_totalprice"], count_alias="n_orders").to_pandas()
-    df["total_price"] = df["sum_o_totalprice"].round(4)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": batch["o_custkey"], "price_c": _cents(batch["o_totalprice"])}
+        )
+
+    per_cust = grouped_int_sums(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"], ["price_c"], count_alias="n_orders", as_float=False,
+    )
+    cust = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).rename_columns(
+        {"c_custkey": "o_custkey"}
+    )
+    from .functions.joins import drop_empty_blocks
+
+    joined = hash_join(drop_empty_blocks(per_cust), cust, "o_custkey", ["c_mktsegment"], how="inner")
+    final = grouped_int_sums(
+        joined, ["c_mktsegment"], ["sum_price_c", "n_orders"], count_alias=None, as_float=True
+    )
+    df = final.to_pandas()
+    df["total_price"] = df["sum_sum_price_c"] / 100.0
+    df["n_orders"] = df["sum_n_orders"].astype("int64")
     return df[["c_mktsegment", "n_orders", "total_price"]].sort_values("c_mktsegment").reset_index(drop=True)
 
 
 Q_SEGMENT_SQL = """
-SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_price
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
@@ -484,6 +566,37 @@ def q_lang_id(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _lang_sql() -> str:
+    """Stopword-scorer oracle: same token rule ([a-zA-Z]+ runs, lowercased),
+    same per-language hit ratio, same strict-greater replacement scanning
+    languages alphabetically (ties keep the earlier language)."""
+    from .stages.text_stats import STOPWORDS
+
+    score_exprs = []
+    for lang in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        score_exprs.append(
+            f"len(list_filter(toks, x -> list_contains([{words}], x)))::DOUBLE"
+            f" / greatest(len(toks), 1) AS s_{lang}"
+        )
+    langs = sorted(STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred_cases = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents
+),
+scored AS (
+  SELECT doc_id, toks, {', '.join(score_exprs)} FROM toks
+),
+best AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id,
+       CASE WHEN len(toks) = 0 OR best <= 0 THEN 'und' {pred_cases} END AS lang_pred,
+       CASE WHEN len(toks) = 0 THEN 0.0 ELSE best END AS lang_score
+FROM best
+"""
+
+
 def q_rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(ts.rolling_fingerprint, batch_format="pyarrow").select_columns(
@@ -495,8 +608,44 @@ def q_rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
+    """MinHash-LSH near-dup pairs at τ=0.5 with 128 hashes in 64 bands of 2 —
+    the band curve puts miss probability at s=0.5 below 1e-8, so the verified
+    output equals the brute-force jaccard oracle (which is what the SQL
+    computes pairwise; LSH is the scale path, the oracle is the semantics)."""
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    return dd.dedup_minhash(docs, "text", "doc_id", threshold=0.5)
+    return dd.dedup_minhash(docs, "text", "doc_id", threshold=0.5, num_hashes=128, bands=64)
+
+
+Q_DEDUP_MINHASH_SQL = r"""
+-- exact 3-word-shingle Jaccard ground truth the banded-LSH + exact-verify
+-- pipeline must reproduce. Candidate generation is LOSSLESS pruning, not an
+-- approximation: jaccard >= 0.5 > 0 requires a non-empty intersection, i.e.
+-- at least one shared shingle — exactly the equality the self-join keys on
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+         END AS grams
+  FROM toks
+),
+dsh AS (SELECT doc_id, list_distinct(grams) AS g FROM sh),
+ex AS (SELECT doc_id, unnest(g) AS s FROM dsh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(da.g, db.g))::DOUBLE
+             / (len(da.g) + len(db.g) - len(list_intersect(da.g, db.g))), 6) AS jaccard
+FROM cand c JOIN dsh da ON c.id_a = da.doc_id JOIN dsh db ON c.id_b = db.doc_id
+WHERE len(list_intersect(da.g, db.g))::DOUBLE
+      / (len(da.g) + len(db.g) - len(list_intersect(da.g, db.g))) >= 0.5
+"""
 
 
 def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
@@ -505,8 +654,33 @@ def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_dedup_embedding(sf_dir: str) -> ray.data.Dataset:
-    emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return dd.dedup_embedding_cosine(emb, "embedding", "vec_id", threshold=0.9)
+    """Embedding near-dup over the sf embeddings UNIONED with a seeded
+    near-duplicate fixture (the sf table alone has no pairs ≥ 0.9 — the
+    fixture makes the check non-vacuous with a known pair set)."""
+    from . import fixtures
+
+    fixtures.ensure_fixtures()
+    emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"]).union(
+        ray.data.read_parquet(fixtures.path("neardup_vecs"), columns=["vec_id", "embedding"])
+    )
+    return dd.dedup_embedding_cosine(emb, "embedding", "vec_id", threshold=0.9, planes=6, bands=16)
+
+
+Q_DEDUP_EMBEDDING_SQL = """
+-- brute-force pairwise cosine over (embeddings ∪ seeded near-dup fixture):
+-- the ground truth the multiband hyperplane-LSH pipeline must reproduce
+WITH allv AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id, embedding FROM read_parquet('/tmp/ddray_fixtures/neardup_vecs.parquet')
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.9
+"""
 
 
 def q_knn_cosine(sf_dir: str) -> ray.data.Dataset:
@@ -539,9 +713,20 @@ def q_knn_lsh(sf_dir: str) -> ray.data.Dataset:
 
 
 def _transcripts_dir() -> str:
-    from .synth import write_transcripts
+    from . import fixtures
 
-    return write_transcripts("/tmp/ddray_transcripts_small", n_convs=60, seed=42, hot_factor=10)
+    fixtures.ensure_fixtures()
+    return fixtures.TRANSCRIPTS_DIR
+
+
+# Golden-fixture oracles: the fixture parquet is produced by the
+# SINGLE-THREADED kernel (one extract_turn call per row, no Ray) whose
+# semantics are independently fuzz-verified against the reference
+# implementation (tests/test_reference_parity.py, 0/1000 mismatches). The SQL
+# therefore checks what SQL cannot express — that the distributed plumbing
+# (actor pools, shuffles, order restoration, dead-letters) reproduces the
+# single-threaded result row-for-row.
+GOLDEN_TURNS = "/tmp/ddray_fixtures/golden_turns.parquet"
 
 
 def q_extract_transcripts(sf_dir: str) -> ray.data.Dataset:
@@ -552,6 +737,13 @@ def q_extract_transcripts(sf_dir: str) -> ray.data.Dataset:
     ds = read_transcripts(_transcripts_dir())
     out = extract_turns(ds, concurrency=(1, 4), batch_size=512)
     return out.select_columns(["conv_id", "turn_idx", "payload_kind", "extracted_text"])
+
+
+Q_EXTRACT_TRANSCRIPTS_SQL = f"""
+-- golden fixture: single-threaded kernel output (see GOLDEN_TURNS note)
+SELECT conv_id, turn_idx, payload_kind, extracted_text
+FROM read_parquet('{GOLDEN_TURNS}')
+"""
 
 
 def q_token_classes(sf_dir: str) -> ray.data.Dataset:
@@ -589,24 +781,36 @@ FROM documents
 """
 
 
+def _layout_docs_ds() -> ray.data.Dataset:
+    from . import fixtures
+
+    fixtures.ensure_fixtures()
+    return ray.data.read_parquet(fixtures.path("layout_docs"))
+
+
 def q_doc_type(sf_dir: str) -> ray.data.Dataset:
     """Sequence classification (document type) over the layout-doc corpus."""
     from .stages.classify import SequenceClassifier
-    from .synth import make_layout_docs
 
-    ds = ray.data.from_arrow(make_layout_docs(300, seed=42))
-    out = ds.map_batches(TurnExtractor, batch_format="pyarrow", concurrency=(1, 4))
+    out = _layout_docs_ds().map_batches(TurnExtractor, batch_format="pyarrow", concurrency=(1, 4))
     out = out.map_batches(SequenceClassifier, batch_format="pyarrow", concurrency=(1, 2))
     return out.select_columns(["doc_id", "doc_type"])
+
+
+Q_DOC_TYPE_SQL = """
+-- golden fixture: single-threaded kernel output (see GOLDEN_TURNS note)
+SELECT doc_id, doc_type FROM read_parquet('/tmp/ddray_fixtures/golden_doc_type.parquet')
+"""
 
 
 def q_table_segment(sf_dir: str) -> ray.data.Dataset:
     """Table segmentation: deterministic cell grids → (row, col) assignment →
     CSV text per table."""
+    from . import fixtures
     from .kernels.table_segment import segment_table_payload
-    from .synth import make_table_docs
 
-    ds = ray.data.from_arrow(make_table_docs(200, seed=42))
+    fixtures.ensure_fixtures()
+    ds = ray.data.read_parquet(fixtures.path("table_docs"))
 
     def segment(batch: pa.Table) -> pa.Table:
         import json as _json
@@ -636,14 +840,61 @@ def q_table_segment(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(segment, batch_format="pyarrow")
 
 
+Q_TABLE_SEGMENT_SQL = r"""
+-- independent oracle: the fixture generator embeds each cell's TRUE (row,col)
+-- in its text ('r{r}c{c} …'); the greedy banding must equal the dense-rank of
+-- the truth (jitter < band separation by construction), and the CSV is the
+-- (row,col)-ordered grid with '' for missing tiles
+WITH cells AS (
+  SELECT doc_id, unnest(CAST(text AS JSON) -> '$.cells[*]') AS cell
+  FROM read_parquet('/tmp/ddray_fixtures/table_docs.parquet')
+),
+parsed AS (
+  SELECT doc_id,
+         cell ->> '$.text' AS ctext,
+         CAST(regexp_extract(cell ->> '$.text', '^r(\d+)c(\d+)', 1) AS INT) AS r,
+         CAST(regexp_extract(cell ->> '$.text', '^r(\d+)c(\d+)', 2) AS INT) AS c
+  FROM cells
+),
+ranked AS (
+  SELECT doc_id, ctext,
+         dense_rank() OVER (PARTITION BY doc_id ORDER BY r) - 1 AS rr,
+         dense_rank() OVER (PARTITION BY doc_id ORDER BY c) - 1 AS cc
+  FROM parsed
+),
+dims AS (
+  SELECT doc_id, max(rr) + 1 AS n_rows, max(cc) + 1 AS n_cols FROM ranked GROUP BY doc_id
+),
+grid AS (
+  SELECT d.doc_id, gr.rr, gc.cc, coalesce(k.ctext, '') AS ctext
+  FROM dims d
+  JOIN LATERAL (SELECT unnest(generate_series(0, CAST(d.n_rows - 1 AS BIGINT))) AS rr) gr ON true
+  JOIN LATERAL (SELECT unnest(generate_series(0, CAST(d.n_cols - 1 AS BIGINT))) AS cc) gc ON true
+  LEFT JOIN ranked k ON k.doc_id = d.doc_id AND k.rr = gr.rr AND k.cc = gc.cc
+),
+lines AS (
+  SELECT doc_id, rr, string_agg(ctext, ',' ORDER BY cc) AS line
+  FROM grid GROUP BY doc_id, rr
+)
+SELECT l.doc_id, d.n_rows, d.n_cols,
+       string_agg(l.line, chr(10) ORDER BY l.rr) AS csv
+FROM lines l JOIN dims d USING (doc_id)
+GROUP BY l.doc_id, d.n_rows, d.n_cols
+"""
+
+
 def q_extract_layout(sf_dir: str) -> ray.data.Dataset:
     """Full layout-pipeline composition (NMS → ioa matching → residual lines →
     reading order) over a deterministic detector-output table."""
-    from .synth import make_layout_docs
-
-    ds = ray.data.from_arrow(make_layout_docs(300, seed=42))
-    out = ds.map_batches(TurnExtractor, batch_format="pyarrow", concurrency=(1, 4))
+    out = _layout_docs_ds().map_batches(TurnExtractor, batch_format="pyarrow", concurrency=(1, 4))
     return out.select_columns(["doc_id", "payload_kind", "extracted_text"])
+
+
+Q_EXTRACT_LAYOUT_SQL = """
+-- golden fixture: single-threaded kernel output (see GOLDEN_TURNS note)
+SELECT doc_id, payload_kind, extracted_text
+FROM read_parquet('/tmp/ddray_fixtures/golden_layout.parquet')
+"""
 
 
 def q_assemble_conversations(sf_dir: str) -> ray.data.Dataset:
@@ -654,6 +905,21 @@ def q_assemble_conversations(sf_dir: str) -> ray.data.Dataset:
     ds = read_transcripts(_transcripts_dir())
     out = extract_turns(ds, concurrency=(1, 4), batch_size=512)
     return assemble_conversations(out)
+
+
+Q_ASSEMBLE_SQL = f"""
+-- per-turn texts come from the golden fixture; the conversation-level
+-- assembly (role prefixes + ordered string_agg) is re-derived in SQL
+SELECT conv_id,
+       count(*) AS n_turns,
+       string_agg(
+         CASE WHEN extracted_text IS NOT NULL AND extracted_text <> ''
+              THEN '[' || role || '] ' || extracted_text
+              ELSE '[' || role || ']' END,
+         chr(10) || chr(10) ORDER BY turn_idx) AS conversation_text
+FROM read_parquet('{GOLDEN_TURNS}')
+GROUP BY conv_id
+"""
 
 
 def q_conv_stats(sf_dir: str) -> ray.data.Dataset:
@@ -674,6 +940,16 @@ def q_conv_stats(sf_dir: str) -> ray.data.Dataset:
     return grouped_sums(
         out.map_batches(add_len, batch_format="pyarrow"), ["conv_id"], ["n_chars"], count_alias="n_turns"
     )
+
+
+Q_CONV_STATS_SQL = f"""
+-- per-turn texts from the golden fixture; the grouped stats re-derive in SQL
+SELECT conv_id,
+       CAST(sum(length(extracted_text)) AS BIGINT) AS sum_n_chars,
+       count(*) AS n_turns
+FROM read_parquet('{GOLDEN_TURNS}')
+GROUP BY conv_id
+"""
 
 
 # -------------------------------------------------------------------- export
@@ -717,6 +993,11 @@ def build_queries() -> dict:
 
 
 def build_oracle_sql() -> dict:
+    # fixture/golden parquet must exist when the driver runs the SQL — the
+    # generation is deterministic, sub-second and Ray-free
+    from . import fixtures
+
+    fixtures.ensure_fixtures()
     return {
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
@@ -737,6 +1018,17 @@ def build_oracle_sql() -> dict:
         "q_extract_documents": Q_EXTRACT_DOCS_SQL,
         "q_knn_cosine": Q_KNN_SQL,
         "q_token_classes": Q_TOKEN_CLASSES_SQL,
-        # q_lang_id / q_rolling_fingerprint / dedup approx / lsh / transcripts:
-        # non-SQL-expressible → rows-only check
+        "q_lang_id": _lang_sql(),
+        "q_dedup_minhash": Q_DEDUP_MINHASH_SQL,
+        "q_dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
+        "q_extract_transcripts": Q_EXTRACT_TRANSCRIPTS_SQL,
+        "q_extract_layout": Q_EXTRACT_LAYOUT_SQL,
+        "q_conv_stats": Q_CONV_STATS_SQL,
+        "q_assemble_conversations": Q_ASSEMBLE_SQL,
+        "q_doc_type": Q_DOC_TYPE_SQL,
+        "q_table_segment": Q_TABLE_SEGMENT_SQL,
+        # still rows-only (not SQL-expressible): q_approx_distinct_users (HLL
+        # sketch), q_rolling_fingerprint (uint64 wraparound rolling hash),
+        # q_dedup_simhash (custom 64-bit signature), q_knn_lsh (approximate
+        # by design — recall pinned by pytest against the brute-force oracle)
     }

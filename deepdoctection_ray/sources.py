@@ -80,7 +80,16 @@ def read_coco(path: str) -> ray.data.Dataset:
             [{"image": imgs.get(image_id), "annotations": group.to_pylist()}]
         )
 
-    return ann_ds.groupby("image_id").map_groups(assemble, batch_format="pyarrow")
+    joined = ann_ds.groupby("image_id").map_groups(assemble, batch_format="pyarrow")
+    # the reference's defaultdict join yields EVERY image, including ones with
+    # zero annotations (custom_serialize.py:604-607) — union those back in
+    with_anns = {a["image_id"] for a in anns}
+    orphans = [img for iid, img in images.items() if iid not in with_anns]
+    if orphans:
+        joined = joined.union(
+            ray.data.from_items([{"image": img, "annotations": []} for img in orphans])
+        )
+    return joined
 
 
 def split_pdf_pages(row: dict) -> list[dict]:

@@ -10,14 +10,15 @@ Scale notes (every op keeps ONE wide shuffle):
 
 - exact:    hash column per batch → groupby(hash) → first-wins. Pre-hash makes
             the shuffle key small even for multi-MB texts.
-- minhash:  per-batch signature (vectorized numpy) → explode to
+- minhash:  per-batch signature (one numpy broadcast) → explode to
             (band, band_hash, doc) rows → groupby band bucket → candidate
-            pairs → verify exact Jaccard. Candidate verification broadcasts
-            the shingle sets via ``ray.put`` (documents that collide in a band
-            are a tiny fraction); at petabyte scale swap the broadcast for a
-            bucketed self-join keyed by doc id.
-- simhash:  64-bit signature, banded into 4x16-bit keys → same bucket shape;
-            verify by Hamming distance.
+            pairs → bucketed verify: candidate ids semi-join back against the
+            corpus, only colliding docs re-shingle, two bucketed hash joins
+            attach shingle lists to the pairs — nothing corpus-sized on the
+            driver at any scale.
+- simhash:  64-bit signature, banded into ``max_hamming + 1`` chunks
+            (pigeonhole ⇒ recall 1.0) → same bucket shape; verify by exact
+            Hamming distance.
 - cosine:   random-hyperplane LSH bucket → within-bucket pairwise cosine.
 """
 
@@ -92,15 +93,14 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
 
 
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Vectorized (a*x + b) mod p minwise signature, shape [num_hashes]."""
-    # modular arithmetic in python ints would be slow; 61-bit prime keeps
-    # products inside uint128-free range via split multiply on uint64
+    """Minwise (a*x + b) mod p signature in ONE broadcast op, shape
+    [num_hashes]. The uint64 product wraps mod 2^64 before the mod-p reduce —
+    the same (deterministic) wrap the scalar version applied, now as a single
+    [n_shingles, num_hashes] matrix instead of a per-hash Python loop."""
     x = sh.astype(np.uint64)
-    out = np.empty(a.shape[0], dtype=np.uint64)
-    for i in range(a.shape[0]):
-        v = (x * a[i] + b[i]) % np.uint64(_MERSENNE)
-        out[i] = v.min()
-    return out
+    with np.errstate(over="ignore"):
+        v = (x[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    return v.min(axis=0)
 
 
 class MinHasher:
@@ -152,6 +152,69 @@ def jaccard(a: set, b: set) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+def _grouped_collisions(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    emit_bucket,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """groupby(group_cols) WITHOUT the tiny-group explosion.
+
+    A naive ``groupby(band, band_key).map_groups`` creates one Python call per
+    LSH bucket — hundreds of thousands of ~1-row groups. Instead rows
+    co-partition by ``hash(group key) % num_buckets`` (one shuffle, bounded
+    group count) and ``emit_bucket`` receives a whole bucket as ONE pandas
+    frame: grouping within it is a vectorized pandas groupby, and per-group
+    work runs only for keys that actually collide.
+    """
+    import pandas as pd
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[group_cols[0]].astype(str)
+        for c in group_cols[1:]:
+            key = key + "\x1f" + df[c].astype(str)
+        df = df.copy()
+        df["__bucket"] = (
+            pd.util.hash_array(key.to_numpy(dtype=object)) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return df
+
+    def emit_arrow(g):
+        # hand back ARROW with explicit schema: a 0-row pandas frame would
+        # become a schema-less block that poisons downstream Acero joins
+        out = emit_bucket(g)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(emit_arrow, batch_format="pandas")
+    )
+
+
+def _dedup_pair_rows(pairs: ray.data.Dataset, num_buckets: int = 32) -> ray.data.Dataset:
+    """Global (id_a, id_b) dedup, co-partitioned by hash(id_a) — same pair
+    always lands in one bucket, ONE drop_duplicates per bucket."""
+    import pandas as pd
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (
+            pd.util.hash_array(df["id_a"].to_numpy()) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return df
+
+    def dedup(g: pd.DataFrame):
+        out = g.drop_duplicates(["id_a", "id_b"], keep="first").drop(columns="__bucket")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        pairs.map_batches(tag, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
 def dedup_minhash(
     ds: ray.data.Dataset,
     text_column: str = "text",
@@ -167,9 +230,15 @@ def dedup_minhash(
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b, deduplicated across
-    bands. ``verify=True`` broadcasts the doc→shingle-set map (``ray.put``
-    once, read per actor) — swap for a bucketed join when the corpus doesn't
-    fit the object store; the LSH part is unchanged.
+    bands. Verification is FULLY BUCKETED — nothing corpus-sized ever touches
+    the driver or the object store as one object:
+
+    1. candidate doc ids are exploded out of the pairs (a tiny fraction of
+       the corpus — only docs that collided in some band);
+    2. a bucketed semi-join re-shingles exactly those docs inside
+       ``map_batches`` (one corpus pass, shingle lists only for candidates);
+    3. two bucketed hash joins attach ``shingles_a`` / ``shingles_b`` to each
+       pair; exact Jaccard filters ≥ threshold.
     """
     buckets = ds.map_batches(
         MinHasher,
@@ -181,61 +250,116 @@ def dedup_minhash(
         ),
     )
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group[id_column].to_pylist())[:max_bucket]
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] != ids[j]:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-        t = group[id_column].type
-        return pa.table({"id_a": pa.array(a_out, t), "id_b": pa.array(b_out, t)})
+    def emit_bucket(g) -> "pd.DataFrame":
+        import pandas as pd
 
-    pairs = (
-        buckets.groupby(["band", "band_key"])
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")  # cross-band dedup
+        sizes = g.groupby(["band", "band_key"])[id_column].transform("size")
+        coll = g[sizes > 1]
+        a_out, b_out = [], []
+        for _, sub in coll.groupby(["band", "band_key"], sort=False):
+            ids = sorted(sub[id_column])[:max_bucket]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] != ids[j]:
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
+        dtype = g[id_column].dtype
+        return pd.DataFrame(
+            {"id_a": pd.Series(a_out, dtype=dtype), "id_b": pd.Series(b_out, dtype=dtype)}
+        ).drop_duplicates()
+
+    pairs = _dedup_pair_rows(  # cross-band dedup (bucketed, not per-pair groups)
+        _grouped_collisions(buckets, ["band", "band_key"], emit_bucket)
     )
     if not verify:
         return pairs
+    # pairs fans out to two consumers below (candidate explode + join probe);
+    # materialize the SMALL candidate set once so the corpus-wide LSH chain
+    # is not re-executed per consumer (blocks stay in the object store and
+    # spill — never on the driver), and drop the schema-less empty blocks
+    # map_groups leaves behind so the Acero joins see a stable schema
+    from ..functions.joins import drop_empty_blocks
 
-    shingles = {
-        r[id_column]: set(shingle_hashes(r[text_column] or "", k).tolist())
-        for r in ds.select_columns([id_column, text_column]).take_all()
-    }
-    ref = ray.put(shingles)
+    pairs = drop_empty_blocks(pairs)
 
-    class Verify:
-        def __init__(self) -> None:
-            self._sets = ray.get(ref)
+    from ..functions.joins import hash_join
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ja = [
-                round(jaccard(self._sets[a], self._sets[b]), 6)
-                for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())
-            ]
-            batch = batch.append_column("jaccard", pa.array(ja, pa.float64()))
-            return batch.filter(pc.greater_equal(batch["jaccard"], threshold))
+    # 1. candidate ids: explode pairs → distinct doc ids that collided anywhere
+    def explode_ids(batch: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays(
+            [batch["id_a"].combine_chunks(), batch["id_b"].combine_chunks()]
+        )
+        return pa.table({id_column: pc.unique(ids)})
 
-    return pairs.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 2))
+    candidates = pairs.map_batches(explode_ids, batch_format="pyarrow")
+
+    # 2. corpus ⋉ candidates (bucketed semi-join), then shingle ONLY those docs
+    colliding = hash_join(
+        ds.select_columns([id_column, text_column]), candidates, id_column, [], how="semi"
+    )
+
+    def to_shingles(batch: pa.Table) -> pa.Table:
+        # packed as binary (uint64 little-endian) — Acero hash joins carry
+        # binary payload columns but reject list<> non-key fields
+        sh = [
+            np.unique(shingle_hashes(t or "", k)).tobytes()
+            for t in batch[text_column].to_pylist()
+        ]
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "shingles": pa.array(sh, pa.binary()),
+            }
+        )
+
+    # doc_shingles also feeds two joins — materialize (candidate-sized, small)
+    doc_shingles = drop_empty_blocks(colliding.map_batches(to_shingles, batch_format="pyarrow"))
+
+    # 3. attach shingles to each pair side via two bucketed joins, then verify
+    side_a = doc_shingles.rename_columns({id_column: "id_a", "shingles": "shingles_a"})
+    side_b = doc_shingles.rename_columns({id_column: "id_b", "shingles": "shingles_b"})
+    withs = hash_join(pairs, side_a, "id_a", ["shingles_a"], how="inner")
+    withs = hash_join(withs, side_b, "id_b", ["shingles_b"], how="inner")
+
+    def verify_batch(batch: pa.Table) -> pa.Table:
+        ja = [
+            jaccard(
+                set(np.frombuffer(a or b"", dtype=np.uint64)),
+                set(np.frombuffer(b_ or b"", dtype=np.uint64)),
+            )
+            for a, b_ in zip(batch["shingles_a"].to_pylist(), batch["shingles_b"].to_pylist())
+        ]
+        batch = batch.drop_columns(["shingles_a", "shingles_b"])
+        # filter on the UNROUNDED value (mirrors the oracle's WHERE), round for display
+        keep = pa.array([j >= threshold for j in ja])
+        rounded = pa.array([round(j, 6) for j in ja], pa.float64())
+        batch = batch.append_column("jaccard", rounded)
+        return batch.filter(keep)
+
+    return withs.map_batches(verify_batch, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------- simhash
 
 
 def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens, one matrix op per document:
+    token hashes → [n_tok, 64] bit matrix → column vote → sign bits."""
     toks = text.split()
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
+    hs = np.fromiter(
+        (
+            stable_int(tok, bits=63) | (stable_int("~" + tok, bits=1) << 63)
+            for tok in toks
+        ),
+        dtype=np.uint64,
+        count=len(toks),
+    )
     shifts = np.arange(64, dtype=np.uint64)
-    for tok in toks:
-        h = np.uint64(stable_int(tok, bits=63)) | (np.uint64(stable_int("~" + tok, bits=1)) << np.uint64(63))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # [n_tok, 64]
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << shifts).sum())
 
 
 def add_simhash(batch: pa.Table, text_column: str = "text") -> pa.Table:
@@ -245,16 +369,41 @@ def add_simhash(batch: pa.Table, text_column: str = "text") -> pa.Table:
     )
 
 
+def _simhash_band_bounds(bands: int) -> list[tuple[int, int]]:
+    """Split the 64 signature bits into ``bands`` near-equal contiguous chunks;
+    returns (shift, width) per band."""
+    base, rem = divmod(64, bands)
+    bounds, shift = [], 0
+    for b in range(bands):
+        width = base + (1 if b < rem else 0)
+        bounds.append((shift, width))
+        shift += width
+    return bounds
+
+
 def dedup_simhash(
     ds: ray.data.Dataset,
     text_column: str = "text",
     id_column: str = "doc_id",
     max_hamming: int = 3,
     max_bucket: int = 64,
+    bands: int | None = None,
 ) -> ray.data.Dataset:
-    """SimHash near-dup pairs: 4x16-bit band bucketing (any pair within
-    Hamming distance 3 of 64 bits shares at least one exact 16-bit band),
-    then exact Hamming verification."""
+    """SimHash near-dup pairs: banded bucketing + exact Hamming verification.
+
+    Pigeonhole guarantee: a pair within Hamming distance ``max_hamming`` of 64
+    bits differs in at most ``max_hamming`` bands, so with
+    ``bands > max_hamming`` (the default ``max_hamming + 1``) it shares at
+    least one *exact* band — recall is 1.0 by construction, not probabilistic.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall for max_hamming={max_hamming}; "
+            "need bands > max_hamming (pigeonhole)"
+        )
+    bounds = _simhash_band_bounds(bands)
 
     def to_bands(batch: pa.Table) -> pa.Table:
         batch = add_simhash(batch, text_column)
@@ -263,9 +412,9 @@ def dedup_simhash(
         band_ids, keys, out_ids, out_sims = [], [], [], []
         for i, s in zip(ids, sims):
             v = int(s, 16)
-            for band in range(4):
+            for band, (shift, width) in enumerate(bounds):
                 band_ids.append(band)
-                keys.append((v >> (band * 16)) & 0xFFFF)
+                keys.append((v >> shift) & ((1 << width) - 1))
                 out_ids.append(i)
                 out_sims.append(s)
         return pa.table(
@@ -277,34 +426,34 @@ def dedup_simhash(
             }
         )
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(zip(group[id_column].to_pylist(), group["simhash"].to_pylist()))[:max_bucket]
-        a_o, b_o, d_o = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if rows[i][0] == rows[j][0]:
-                    continue
-                dist = bin(int(rows[i][1], 16) ^ int(rows[j][1], 16)).count("1")
-                if dist <= max_hamming:
-                    a_o.append(rows[i][0])
-                    b_o.append(rows[j][0])
-                    d_o.append(dist)
-        t = group[id_column].type
-        return pa.table(
-            {
-                "id_a": pa.array(a_o, t),
-                "id_b": pa.array(b_o, t),
-                "hamming": pa.array(d_o, pa.int32()),
-            }
-        )
+    def emit_bucket(g) -> "pd.DataFrame":
+        import pandas as pd
 
-    return (
-        ds.map_batches(to_bands, batch_format="pyarrow")
-        .groupby(["band", "band_key"])
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-    )
+        sizes = g.groupby(["band", "band_key"])[id_column].transform("size")
+        coll = g[sizes > 1]
+        a_o, b_o, d_o = [], [], []
+        for _, sub in coll.groupby(["band", "band_key"], sort=False):
+            rows = sorted(zip(sub[id_column], sub["simhash"]))[:max_bucket]
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    if rows[i][0] == rows[j][0]:
+                        continue
+                    dist = bin(int(rows[i][1], 16) ^ int(rows[j][1], 16)).count("1")
+                    if dist <= max_hamming:
+                        a_o.append(rows[i][0])
+                        b_o.append(rows[j][0])
+                        d_o.append(dist)
+        dtype = g[id_column].dtype
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(a_o, dtype=dtype),
+                "id_b": pd.Series(b_o, dtype=dtype),
+                "hamming": pd.Series(d_o, dtype=np.int32),
+            }
+        ).drop_duplicates(["id_a", "id_b"])
+
+    banded = ds.map_batches(to_bands, batch_format="pyarrow")
+    return _dedup_pair_rows(_grouped_collisions(banded, ["band", "band_key"], emit_bucket))
 
 
 # ------------------------------------------------------- embedding near-dup
@@ -315,62 +464,77 @@ def dedup_embedding_cosine(
     embedding_column: str = "embedding",
     id_column: str = "vec_id",
     threshold: float = 0.95,
-    planes: int = 12,
+    planes: int = 8,
+    bands: int = 8,
     seed: int = 11,
     max_bucket: int = 256,
 ) -> ray.data.Dataset:
-    """Random-hyperplane LSH bucket + within-bucket pairwise cosine ≥ τ.
+    """Multiband random-hyperplane LSH + within-bucket pairwise cosine ≥ τ.
 
-    One shuffle keyed by the LSH signature. Hyperplanes are seeded numpy,
-    identical on every worker (regenerated in the stage, no broadcast needed).
+    ``bands`` independent plane sets; a pair is a candidate if it agrees on
+    ALL planes of ANY band — miss probability for a pair at angle θ is
+    ``(1 - (1-θ/π)^planes)^bands`` (≈1e-6 at cosine 0.997 with 8×8), vs ~26%
+    for the old single 12-plane band. One shuffle keyed by (band, signature);
+    embeddings are duplicated ``bands``× across the exchange — the recall
+    price, tunable per call. Hyperplanes are seeded numpy, identical on every
+    worker (regenerated in the stage, no broadcast needed).
     """
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         emb = np.asarray(batch[embedding_column].to_pylist(), dtype=np.float64)
         dim = emb.shape[1]
-        h = np.random.RandomState(seed).standard_normal((dim, planes))
-        signs = (emb @ h) > 0
-        keys = (signs.astype(np.uint32) << np.arange(planes, dtype=np.uint32)).sum(1)
+        h = np.random.RandomState(seed).standard_normal((dim, bands * planes))
+        signs = (emb @ h) > 0  # [n, bands*planes]
+        weights = (1 << np.arange(planes, dtype=np.uint64))
+        n = emb.shape[0]
+        out_band, out_key, out_idx = [], [], []
+        for b in range(bands):
+            keys = (signs[:, b * planes : (b + 1) * planes].astype(np.uint64) * weights).sum(1)
+            out_band.append(np.full(n, b, dtype=np.int32))
+            out_key.append(keys.astype(np.int64))
+            out_idx.append(np.arange(n))
+        idx = np.concatenate(out_idx)
         return pa.table(
             {
-                "bucket": pa.array(keys.astype(np.int64), pa.int64()),
-                id_column: batch[id_column],
-                embedding_column: batch[embedding_column],
+                "band": pa.array(np.concatenate(out_band), pa.int32()),
+                "bucket": pa.array(np.concatenate(out_key), pa.int64()),
+                id_column: pc.take(batch[id_column], pa.array(idx, pa.int64())),
+                embedding_column: pc.take(batch[embedding_column], pa.array(idx, pa.int64())),
             }
         )
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = group[id_column].to_pylist()[:max_bucket]
-        emb = np.asarray(group[embedding_column].to_pylist()[:max_bucket], dtype=np.float64)
-        norms = np.linalg.norm(emb, axis=1)
-        norms[norms == 0] = 1.0
-        unit = emb / norms[:, None]
-        cos = unit @ unit.T
-        order = np.argsort(ids, kind="stable")
+    def emit_bucket(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        sizes = g.groupby(["band", "bucket"])[id_column].transform("size")
+        coll = g[sizes > 1]
         a_o, b_o, c_o = [], [], []
-        for oi in range(len(order)):
-            for oj in range(oi + 1, len(order)):
-                i, j = order[oi], order[oj]
-                if ids[i] == ids[j]:
-                    continue
-                c = round(float(cos[i, j]), 6)
-                if c >= threshold:
-                    a_o.append(ids[i])
-                    b_o.append(ids[j])
-                    c_o.append(c)
-        t = group[id_column].type
-        return pa.table(
+        for _, sub in coll.groupby(["band", "bucket"], sort=False):
+            ids = sub[id_column].tolist()[:max_bucket]
+            emb = np.asarray(sub[embedding_column].tolist()[: len(ids)], dtype=np.float64)
+            norms = np.linalg.norm(emb, axis=1)
+            norms[norms == 0] = 1.0
+            unit = emb / norms[:, None]
+            cos = unit @ unit.T
+            order = np.argsort(ids, kind="stable")
+            for oi in range(len(order)):
+                for oj in range(oi + 1, len(order)):
+                    i, j = order[oi], order[oj]
+                    if ids[i] == ids[j]:
+                        continue
+                    c = float(cos[i, j])
+                    if c >= threshold:  # filter unrounded (mirrors the oracle)
+                        a_o.append(ids[i])
+                        b_o.append(ids[j])
+                        c_o.append(round(c, 6))
+        dtype = g[id_column].dtype
+        return pd.DataFrame(
             {
-                "id_a": pa.array(a_o, t),
-                "id_b": pa.array(b_o, t),
-                "cosine": pa.array(c_o, pa.float64()),
+                "id_a": pd.Series(a_o, dtype=dtype),
+                "id_b": pd.Series(b_o, dtype=dtype),
+                "cosine": pd.Series(c_o, dtype=np.float64),
             }
-        )
+        ).drop_duplicates(["id_a", "id_b"])
 
-    return (
-        ds.map_batches(to_buckets, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-    )
+    banded = ds.map_batches(to_buckets, batch_format="pyarrow")
+    return _dedup_pair_rows(_grouped_collisions(banded, ["band", "bucket"], emit_bucket))

@@ -130,7 +130,10 @@ class LanguageId:
                 if score > best:
                     best_lang, best = lang, score
             langs.append(best_lang if best > 0 else "und")
-            scores.append(round(best, 6))
+            # unrounded: hits/len is the same IEEE division the SQL oracle
+            # performs, so the doubles are bit-identical without a rounding
+            # step (whose half-even vs half-away tie rule could diverge)
+            scores.append(best)
         batch = batch.append_column("lang_pred", pa.array(langs, pa.string()))
         batch = batch.append_column("lang_score", pa.array(scores, pa.float64()))
         return batch
