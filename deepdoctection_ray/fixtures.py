@@ -34,11 +34,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 FIXTURE_DIR = "/tmp/ddray_fixtures"
-_VERSION = 2
+_VERSION = 3
 
 TRANSCRIPTS_DIR = "/tmp/ddray_transcripts_small"
 N_CONVS, SEED, HOT = 60, 42, 10
-N_LAYOUT, N_TABLE = 300, 200
+N_LAYOUT, N_TABLE, N_PUBTABLES = 300, 200, 150
 
 
 def path(name: str) -> str:
@@ -104,11 +104,17 @@ def ensure_fixtures() -> str:
     """Write all fixture/golden parquet under FIXTURE_DIR (idempotent)."""
     from .stages.classify import SequenceClassifier
     from .stages.extract import TurnExtractor
-    from .synth import make_layout_docs, make_table_docs, make_transcripts, write_transcripts
+    from .synth import (
+        make_layout_docs,
+        make_pubtables_docs,
+        make_table_docs,
+        make_transcripts,
+        write_transcripts,
+    )
 
     marker = os.path.join(FIXTURE_DIR, "_meta.json")
     meta = {"v": _VERSION, "n_convs": N_CONVS, "seed": SEED, "hot": HOT,
-            "n_layout": N_LAYOUT, "n_table": N_TABLE}
+            "n_layout": N_LAYOUT, "n_table": N_TABLE, "n_pubtables": N_PUBTABLES}
     if os.path.exists(marker):
         try:
             with open(marker) as fh:
@@ -134,6 +140,7 @@ def ensure_fixtures() -> str:
     pq.write_table(typed.select(["doc_id", "doc_type"]), path("golden_doc_type"))
 
     pq.write_table(make_table_docs(N_TABLE, seed=SEED), path("table_docs"))
+    pq.write_table(make_pubtables_docs(N_PUBTABLES, seed=SEED), path("pubtables_docs"))
     pq.write_table(make_neardup_vecs(), path("neardup_vecs"))
 
     tmp = marker + ".tmp"

@@ -883,6 +883,95 @@ GROUP BY l.doc_id, d.n_rows, d.n_cols
 """
 
 
+def q_pubtables_segment(sf_dir: str) -> ray.data.Dataset:
+    """Pubtables (table-transformer) segmentation with spanning cells: one
+    output row per FINAL cell after stretch → tile → enumerate → intersection
+    cells → spanning assignment → double-allocation resolution
+    (``pipe/segment.py:1057-1415`` semantics, kernels/pubtables.py)."""
+    from . import fixtures
+    from .kernels.pubtables import segment_pubtables_payload
+
+    fixtures.ensure_fixtures()
+    ds = ray.data.read_parquet(fixtures.path("pubtables_docs"))
+
+    def segment(batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        d_out, r_out, c_out, rs_out, cs_out = [], [], [], [], []
+        for doc_id, payload in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            doc = _json.loads(payload)
+            box = lambda b: [b["x0"], b["top"], b["x1"], b["bottom"]]  # noqa: E731
+            res = segment_pubtables_payload(
+                np.array(box(doc["table"])),
+                np.array([box(r) for r in doc["rows"]]).reshape(-1, 4),
+                np.array([box(c) for c in doc["cols"]]).reshape(-1, 4),
+                np.array([box(s) for s in doc["spans"]]).reshape(-1, 4),
+                threshold_rows=0.3,
+                threshold_cols=0.3,
+            )
+            for row, col, rs, cs in res["cells"]:
+                d_out.append(doc_id)
+                r_out.append(row)
+                c_out.append(col)
+                rs_out.append(rs)
+                cs_out.append(cs)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_out, pa.int64()),
+                "row_num": pa.array(r_out, pa.int64()),
+                "col_num": pa.array(c_out, pa.int64()),
+                "rs": pa.array(rs_out, pa.int64()),
+                "cs": pa.array(cs_out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(segment, batch_format="pyarrow")
+
+
+Q_PUBTABLES_SQL = """
+-- independent oracle: the generator embeds each spanning cell's TRUE
+-- (row, col, rs, cs); expected tiling = spans ∪ (grid cells not covered by
+-- any span footprint). Geometry recovery must equal this truth because the
+-- jitter (≤3px) is far below the assignment thresholds.
+WITH docs AS (
+  SELECT doc_id, CAST(text AS JSON) AS j
+  FROM read_parquet('/tmp/ddray_fixtures/pubtables_docs.parquet')
+),
+dims AS (
+  SELECT doc_id, CAST(j ->> '$.n_rows' AS INT) AS n_rows,
+         CAST(j ->> '$.n_cols' AS INT) AS n_cols
+  FROM docs
+),
+spans AS (
+  SELECT doc_id,
+         CAST(s ->> '$.row' AS BIGINT) AS row_num,
+         CAST(s ->> '$.col' AS BIGINT) AS col_num,
+         CAST(s ->> '$.rs' AS BIGINT) AS rs,
+         CAST(s ->> '$.cs' AS BIGINT) AS cs
+  FROM (SELECT doc_id, unnest(j -> '$.spans[*]') AS s FROM docs)
+),
+grid AS (
+  SELECT d.doc_id, gr.r AS row_num, gc.c AS col_num
+  FROM dims d
+  JOIN LATERAL (SELECT unnest(generate_series(1, CAST(d.n_rows AS BIGINT))) AS r) gr ON true
+  JOIN LATERAL (SELECT unnest(generate_series(1, CAST(d.n_cols AS BIGINT))) AS c) gc ON true
+),
+simple AS (
+  SELECT g.doc_id, g.row_num, g.col_num, CAST(1 AS BIGINT) AS rs, CAST(1 AS BIGINT) AS cs
+  FROM grid g
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = g.doc_id
+      AND g.row_num BETWEEN s.row_num AND s.row_num + s.rs - 1
+      AND g.col_num BETWEEN s.col_num AND s.col_num + s.cs - 1
+  )
+)
+SELECT * FROM spans
+UNION ALL
+SELECT * FROM simple
+"""
+
+
 def q_extract_layout(sf_dir: str) -> ray.data.Dataset:
     """Full layout-pipeline composition (NMS → ioa matching → residual lines →
     reading order) over a deterministic detector-output table."""
@@ -989,6 +1078,7 @@ def build_queries() -> dict:
         "q_token_classes": q_token_classes,
         "q_doc_type": q_doc_type,
         "q_table_segment": q_table_segment,
+        "q_pubtables_segment": q_pubtables_segment,
     }
 
 
@@ -1027,6 +1117,7 @@ def build_oracle_sql() -> dict:
         "q_assemble_conversations": Q_ASSEMBLE_SQL,
         "q_doc_type": Q_DOC_TYPE_SQL,
         "q_table_segment": Q_TABLE_SEGMENT_SQL,
+        "q_pubtables_segment": Q_PUBTABLES_SQL,
         # still rows-only (not SQL-expressible): q_approx_distinct_users (HLL
         # sketch), q_rolling_fingerprint (uint64 wraparound rolling hash),
         # q_dedup_simhash (custom 64-bit signature), q_knn_lsh (approximate

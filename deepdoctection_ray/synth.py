@@ -213,6 +213,80 @@ def make_table_docs(n_docs: int = 200, seed: int = 42) -> pa.Table:
     )
 
 
+def make_pubtables_docs(n_docs: int = 150, seed: int = 42) -> pa.Table:
+    """Deterministic pubtables-style detector payloads: a table box with row /
+    column boxes (jittered ≤ ±3 px, pitch 40/120 — centers keep their order)
+    and 0-2 spanning cells whose boxes are exact unions of covered tiles. The
+    TRUE (row, col, rs, cs) of every span is embedded in the JSON so an
+    independent SQL oracle can reconstruct the expected cell tiling."""
+    payloads = []
+    for i in range(n_docs):
+        rng = _rng(seed, "pubtables", i)
+        n_rows = rng.randint(2, 5)
+        n_cols = rng.randint(2, 4)
+        width, height = 120.0 * n_cols, 40.0 * n_rows
+        rows = [
+            {
+                "x0": rng.uniform(0, 10),
+                "top": 40.0 * r + (rng.uniform(-3, 3) if r else 0.0),
+                "x1": width - rng.uniform(0, 10),
+                "bottom": 40.0 * (r + 1) + (rng.uniform(-3, 3) if r < n_rows - 1 else 0.0),
+            }
+            for r in range(n_rows)
+        ]
+        cols = [
+            {
+                "x0": 120.0 * c + (rng.uniform(-3, 3) if c else 0.0),
+                "top": rng.uniform(0, 5),
+                "x1": 120.0 * (c + 1) + (rng.uniform(-3, 3) if c < n_cols - 1 else 0.0),
+                "bottom": height - rng.uniform(0, 5),
+            }
+            for c in range(n_cols)
+        ]
+        spans = []
+        taken: set[tuple[int, int]] = set()
+        for _ in range(rng.randint(0, 2)):
+            rs = rng.randint(1, 2)
+            cs = rng.randint(1, 2)
+            if rs == 1 and cs == 1:
+                cs = 2
+            if rs > n_rows or cs > n_cols:
+                continue
+            r0 = rng.randint(1, n_rows - rs + 1)
+            c0 = rng.randint(1, n_cols - cs + 1)
+            footprint = {(r0 + dr, c0 + dc) for dr in range(rs) for dc in range(cs)}
+            if footprint & taken:
+                continue
+            taken |= footprint
+            spans.append(
+                {
+                    "x0": 120.0 * (c0 - 1),
+                    "top": 40.0 * (r0 - 1),
+                    "x1": 120.0 * (c0 - 1 + cs),
+                    "bottom": 40.0 * (r0 - 1 + rs),
+                    "row": r0,
+                    "col": c0,
+                    "rs": rs,
+                    "cs": cs,
+                }
+            )
+        payloads.append(
+            json.dumps(
+                {
+                    "table": {"x0": 0.0, "top": 0.0, "x1": width, "bottom": height},
+                    "rows": rows,
+                    "cols": cols,
+                    "spans": spans,
+                    "n_rows": n_rows,
+                    "n_cols": n_cols,
+                }
+            )
+        )
+    return pa.table(
+        {"doc_id": pa.array(range(n_docs), pa.int64()), "text": pa.array(payloads, pa.string())}
+    )
+
+
 _KIND_BUILDERS = {"plain": _make_plain, "html": _make_html, "pdfish": _make_pdfish}
 _KIND_TOOL = {"plain": "", "html": "browser", "pdfish": "pdf_reader"}
 

@@ -1,0 +1,100 @@
+"""Pubtables segmentation kernels: spans, tiling, HTML — hand-built fixtures
+mirroring the reference's test shapes (tests/pipe/test_segment.py,
+test_refine.py: stretch/tile/intersection/spanning/html)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from deepdoctection_ray.kernels.pubtables import (
+    assign_spanning_cells,
+    enumerate_items,
+    html_with_spans,
+    intersection_cells,
+    remove_overlapping_items,
+    resolve_double_allocation,
+    segment_pubtables_payload,
+    stretch_items,
+    tile_items,
+)
+
+TABLE = np.array([0.0, 0.0, 200.0, 100.0])
+ROWS = np.array([[5.0, 2.0, 190.0, 48.0], [4.0, 52.0, 195.0, 99.0]])
+COLS = np.array([[2.0, 3.0, 98.0, 97.0], [102.0, 2.0, 198.0, 98.0]])
+
+
+def test_stretch_items_snaps_to_table_edges():
+    rows, cols = stretch_items(ROWS, COLS, TABLE)
+    assert (rows[:, 0] == 0.0).all() and (rows[:, 2] == 200.0).all()
+    assert (cols[:, 1] == 0.0).all() and (cols[:, 3] == 100.0).all()
+    # the stacking axis is untouched
+    assert rows[0, 1] == 2.0 and rows[0, 3] == 48.0
+
+
+def test_tile_items_left_rule_closes_gaps():
+    rows, _ = stretch_items(ROWS, COLS, TABLE)
+    tiled = tile_items(rows, 1, 0.0, 100.0, "left")
+    assert tiled[0, 1] == 0.0 and tiled[1, 3] == 100.0
+    assert tiled[1, 1] == tiled[0, 3]  # next.lo == cur.hi
+
+
+def test_tile_items_equal_rule_meets_at_midpoint():
+    rows, _ = stretch_items(ROWS, COLS, TABLE)
+    tiled = tile_items(rows, 1, 0.0, 100.0, "equal")
+    assert tiled[0, 3] == tiled[1, 1] == (48.0 + 52.0) / 2.0
+
+
+def test_enumerate_is_center_order_not_input_order():
+    shuffled = ROWS[::-1].copy()
+    nums = enumerate_items(shuffled, 1)
+    assert nums.tolist() == [2, 1]
+
+
+def test_remove_overlapping_items_drops_near_duplicate():
+    boxes = np.array([[0.0, 0.0, 100.0, 50.0], [0.0, 2.0, 100.0, 52.0], [0.0, 60.0, 100.0, 100.0]])
+    keep = remove_overlapping_items(boxes, iou_threshold=0.8)
+    assert keep.tolist() == [0, 2]
+
+
+def test_intersection_cells_grid():
+    rows, cols = stretch_items(ROWS, COLS, TABLE)
+    boxes, r_num, c_num = intersection_cells(rows, np.array([1, 2]), cols, np.array([1, 2]))
+    assert boxes.shape == (4, 4)
+    assert r_num.tolist() == [1, 1, 2, 2]
+    assert c_num.tolist() == [1, 2, 1, 2]
+
+
+def test_spanning_assignment_min_number_and_span():
+    rows, cols = stretch_items(ROWS, COLS, TABLE)
+    rows = tile_items(rows, 1, 0.0, 100.0)
+    cols = tile_items(cols, 0, 0.0, 200.0)
+    span = np.array([[0.0, 0.0, 200.0, 50.0]])  # covers row 1, both columns
+    out = assign_spanning_cells(span, rows, np.array([1, 2]), cols, np.array([1, 2]))
+    assert out.tolist() == [[1, 1, 1, 2]]
+
+
+def test_double_allocation_spanning_wins():
+    simple = np.array([[1, 1, 1, 1], [1, 2, 1, 1], [2, 1, 1, 1], [2, 2, 1, 1]])
+    spanning = np.array([[1, 1, 1, 2]])
+    keep = resolve_double_allocation(simple, spanning)
+    assert keep.tolist() == [False, False, True, True]
+
+
+def test_html_with_spans_reference_format():
+    cells = [(1, 1, 1, 2), (2, 1, 1, 1), (2, 2, 1, 1)]
+    html = html_with_spans(cells, 2, 2)
+    assert html == "<table><tr><td colspan=2></td></tr><tr><td></td><td></td></tr></table>"
+
+
+def test_html_rowspan_skips_filled_position():
+    cells = [(1, 1, 2, 1), (1, 2, 1, 1), (2, 2, 1, 1)]
+    html = html_with_spans(cells, 2, 2)
+    assert html == "<table><tr><td rowspan=2></td><td></td></tr><tr><td></td></tr></table>"
+
+
+def test_full_payload_pass():
+    span = np.array([[0.0, 0.0, 200.0, 50.0]])
+    res = segment_pubtables_payload(TABLE, ROWS, COLS, span, threshold_rows=0.3, threshold_cols=0.3)
+    assert res["n_rows"] == 2 and res["n_cols"] == 2
+    assert res["cells"] == [(1, 1, 1, 2), (2, 1, 1, 1), (2, 2, 1, 1)]
+    assert "colspan=2" in res["html"]
