@@ -34,11 +34,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 FIXTURE_DIR = "/tmp/ddray_fixtures"
-_VERSION = 3
+_VERSION = 5
 
 TRANSCRIPTS_DIR = "/tmp/ddray_transcripts_small"
 N_CONVS, SEED, HOT = 60, 42, 10
-N_LAYOUT, N_TABLE, N_PUBTABLES = 300, 200, 150
+N_LAYOUT, N_TABLE, N_PUBTABLES, N_PDFS = 300, 200, 150, 40
 
 
 def path(name: str) -> str:
@@ -105,7 +105,9 @@ def ensure_fixtures() -> str:
     from .stages.classify import SequenceClassifier
     from .stages.extract import TurnExtractor
     from .synth import (
+        make_deskew_docs,
         make_layout_docs,
+        make_pdf_corpus,
         make_pubtables_docs,
         make_table_docs,
         make_transcripts,
@@ -114,7 +116,8 @@ def ensure_fixtures() -> str:
 
     marker = os.path.join(FIXTURE_DIR, "_meta.json")
     meta = {"v": _VERSION, "n_convs": N_CONVS, "seed": SEED, "hot": HOT,
-            "n_layout": N_LAYOUT, "n_table": N_TABLE, "n_pubtables": N_PUBTABLES}
+            "n_layout": N_LAYOUT, "n_table": N_TABLE, "n_pubtables": N_PUBTABLES,
+            "n_pdfs": N_PDFS}
     if os.path.exists(marker):
         try:
             with open(marker) as fh:
@@ -142,6 +145,24 @@ def ensure_fixtures() -> str:
     pq.write_table(make_table_docs(N_TABLE, seed=SEED), path("table_docs"))
     pq.write_table(make_pubtables_docs(N_PUBTABLES, seed=SEED), path("pubtables_docs"))
     pq.write_table(make_neardup_vecs(), path("neardup_vecs"))
+    pq.write_table(make_deskew_docs(100, seed=SEED), path("deskew_docs"))
+
+    files, truth = make_pdf_corpus(N_PDFS, seed=SEED)
+    pdf_dir = os.path.join(FIXTURE_DIR, "pdfs")
+    os.makedirs(pdf_dir, exist_ok=True)
+    for name, data in files:
+        with open(os.path.join(pdf_dir, name), "wb") as fh:
+            fh.write(data)
+    pq.write_table(
+        pa.table(
+            {
+                "file_name": pa.array([t["file_name"] for t in truth], pa.string()),
+                "page_number": pa.array([t["page_number"] for t in truth], pa.int64()),
+                "text": pa.array([t["text"] for t in truth], pa.string()),
+            }
+        ),
+        path("pdf_truth"),
+    )
 
     tmp = marker + ".tmp"
     with open(tmp, "w") as fh:

@@ -972,6 +972,136 @@ SELECT * FROM simple
 """
 
 
+def q_read_pdf(sf_dir: str) -> ray.data.Dataset:
+    """Real-PDF ingestion end-to-end: binary read → pure-Python container
+    parse (xref/page tree/FlateDecode, kernels/pdf.py) → per-page split with
+    word-layer mining → extraction stage (reading order over the mined
+    words). The oracle is the fixture GENERATOR's intent — the writer→parser→
+    extractor chain must reproduce the text each page was built to say."""
+    import os as _os
+
+    from . import fixtures
+    from .sources import read_pdf
+
+    fixtures.ensure_fixtures()
+    pages = read_pdf(_os.path.join(fixtures.FIXTURE_DIR, "pdfs"))
+    out = pages.map_batches(
+        TurnExtractor, batch_format="pyarrow", concurrency=(1, 4), batch_size=64
+    )
+    return out.select_columns(["file_name", "page_number", "extracted_text"])
+
+
+Q_READ_PDF_SQL = """
+-- construction truth: the fixture generator wrote each page's words in
+-- reading order; writer → container parser → miner → ordering must match
+SELECT file_name, page_number, text AS extracted_text
+FROM read_parquet('/tmp/ddray_fixtures/pdf_truth.parquet')
+"""
+
+
+def q_layoutlm_features(sf_dir: str) -> ray.data.Dataset:
+    """LayoutLM feature mapping over the PDF fixture pages: word-piece
+    tokenize, align boxes, build sliding windows (max_length=32, stride=8 so
+    multi-window documents occur). Output: per page, the piece count and
+    window count; the window tensors themselves are pinned by pytest."""
+    import os as _os
+
+    from . import fixtures
+    from .sources import read_pdf
+    from .stages.layoutlm import LayoutLMFeaturizer
+
+    fixtures.ensure_fixtures()
+    pages = read_pdf(_os.path.join(fixtures.FIXTURE_DIR, "pdfs")).select_columns(
+        ["file_name", "page_number", "text"]
+    )
+    feats = pages.map_batches(
+        LayoutLMFeaturizer,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs=dict(max_length=32, sliding_window_stride=8),
+    )
+
+    def per_page(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["file_name", "page_number", "n_word_pieces"]).aggregate(
+            [("window_idx", "count")]
+        )
+        return pa.table(
+            {
+                "file_name": t["file_name"],
+                "page_number": t["page_number"],
+                "n_word_pieces": t["n_word_pieces"],
+                "n_windows": pc.cast(t["window_idx_count"], pa.int64()),
+            }
+        )
+
+    # windows of one page never split across batches (featurizer emits them
+    # together and batches stay block-aligned upstream of any shuffle)
+    return feats.map_batches(per_page, batch_format="pyarrow", batch_size=None)
+
+
+Q_LAYOUTLM_SQL = r"""
+-- independent re-derivation from the construction truth: word pieces =
+-- alpha/digit/punct runs chunked to 4 chars; windows = 1 if pieces fit the
+-- [CLS]/[SEP] budget (32-2=30) else ceil((T-30)/stride)+1 with stride 8
+WITH pages AS (
+  SELECT file_name, page_number,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM read_parquet('/tmp/ddray_fixtures/pdf_truth.parquet')
+),
+pieces AS (
+  SELECT file_name, page_number,
+         CAST(list_aggregate(list_transform(words, w ->
+           list_aggregate(list_transform(
+             regexp_extract_all(w, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+             r -> CAST(ceil(len(r) / 4.0) AS BIGINT)), 'sum')), 'sum') AS BIGINT) AS n_word_pieces
+  FROM pages
+)
+SELECT file_name, page_number, n_word_pieces,
+       CASE WHEN n_word_pieces <= 30 THEN 1
+            ELSE CAST(ceil((n_word_pieces - 30) / 8.0) AS BIGINT) + 1 END AS n_windows
+FROM pieces
+"""
+
+
+def q_deskew(sf_dir: str) -> ray.data.Dataset:
+    """Skew-angle estimation (SimpleTransformService's missing half): the
+    projection-profile estimator recovers each page's rotation from word
+    geometry alone; the oracle is the fixture's embedded true angle. Output
+    rounds to the generator's 0.5-degree lattice (estimator error is
+    measured at <= 0.1 degrees on clean grids)."""
+    import json as _json
+
+    from . import fixtures
+    from .kernels.transforms import estimate_skew_angle
+
+    fixtures.ensure_fixtures()
+    ds = ray.data.read_parquet(fixtures.path("deskew_docs"), columns=["doc_id", "text"])
+
+    def est(batch: pa.Table) -> pa.Table:
+        ids, out = [], []
+        for doc_id, payload in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            doc = _json.loads(payload)
+            boxes = np.array(
+                [[w["x0"], w["top"], w["x1"], w["bottom"]] for w in doc["words"]]
+            ).reshape(-1, 4)
+            raw = estimate_skew_angle(boxes)
+            ids.append(doc_id)
+            out.append(round(raw * 2) / 2.0)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "skew_deg": pa.array(out, pa.float64())}
+        )
+
+    return ds.map_batches(est, batch_format="pyarrow")
+
+
+Q_DESKEW_SQL = """
+-- construction truth: pages were rotated by true_angle; the estimator must
+-- report the deskew angle = -true_angle on the same 0.5-degree lattice
+SELECT doc_id, -true_angle AS skew_deg
+FROM read_parquet('/tmp/ddray_fixtures/deskew_docs.parquet')
+"""
+
+
 def q_extract_layout(sf_dir: str) -> ray.data.Dataset:
     """Full layout-pipeline composition (NMS → ioa matching → residual lines →
     reading order) over a deterministic detector-output table."""
@@ -1079,6 +1209,9 @@ def build_queries() -> dict:
         "q_doc_type": q_doc_type,
         "q_table_segment": q_table_segment,
         "q_pubtables_segment": q_pubtables_segment,
+        "q_read_pdf": q_read_pdf,
+        "q_layoutlm_features": q_layoutlm_features,
+        "q_deskew": q_deskew,
     }
 
 
@@ -1118,6 +1251,9 @@ def build_oracle_sql() -> dict:
         "q_doc_type": Q_DOC_TYPE_SQL,
         "q_table_segment": Q_TABLE_SEGMENT_SQL,
         "q_pubtables_segment": Q_PUBTABLES_SQL,
+        "q_read_pdf": Q_READ_PDF_SQL,
+        "q_layoutlm_features": Q_LAYOUTLM_SQL,
+        "q_deskew": Q_DESKEW_SQL,
         # still rows-only (not SQL-expressible): q_approx_distinct_users (HLL
         # sketch), q_rolling_fingerprint (uint64 wraparound rolling hash),
         # q_dedup_simhash (custom 64-bit signature), q_knn_lsh (approximate

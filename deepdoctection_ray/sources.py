@@ -96,22 +96,51 @@ def split_pdf_pages(row: dict) -> list[dict]:
     """``SerializerPdfDoc.load`` mapper (``custom_serialize.py:620-717``):
     one binary pdf → per-page records.
 
-    STUB: a real page splitter needs a pdf library absent from this
-    environment. The contract is honored for the synthetic container format
-    ``b"%PAGE%"``-joined page payloads — enough to test the
-    ``read_binary_files → flat_map`` plumbing; swap in pypdfium2 splitting
-    when available.
+    Real PDFs (``%PDF`` magic) are split by the pure-Python container parser
+    (``kernels/pdf.py`` — classic xref + FlateDecode; the reference's
+    ``PDFStreamer``, ``dd_core/utils/pdf_utils.py:406-545``): each record
+    carries a standalone re-serialized single-page PDF plus the page's
+    extracted word layer as a pdfish JSON payload ready for the extraction
+    stage. Non-PDF buffers keep the legacy ``b"%PAGE%"`` synthetic split so
+    the plumbing tests stay format-agnostic.
     """
+    import json
+
     data: bytes = row["bytes"]
     path = row.get("path", "")
+    file_name = path.rsplit("/", 1)[-1]
+    if data.startswith(b"%PDF"):
+        from .kernels.pdf import PdfReader
+
+        reader = PdfReader(data)
+        out = []
+        for i in range(reader.num_pages):
+            width, height = reader.page_size(i)
+            out.append(
+                {
+                    "path": path,
+                    "file_name": file_name,
+                    "pdf_bytes": reader.page_pdf_bytes(i),
+                    "page_number": i,
+                    "document_id": path,
+                    "text": json.dumps(
+                        {
+                            "page": {"width": width, "height": height},
+                            "words": reader.page_words(i),
+                        }
+                    ),
+                }
+            )
+        return out
     pages = data.split(b"%PAGE%") if b"%PAGE%" in data else [data]
     return [
         {
             "path": path,
-            "file_name": path.rsplit("/", 1)[-1],
+            "file_name": file_name,
             "pdf_bytes": page,
             "page_number": i,
             "document_id": path,
+            "text": "",
         }
         for i, page in enumerate(pages)
     ]

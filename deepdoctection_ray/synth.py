@@ -287,6 +287,97 @@ def make_pubtables_docs(n_docs: int = 150, seed: int = 42) -> pa.Table:
     )
 
 
+def make_pdf_corpus(
+    n_docs: int = 40, seed: int = 42
+) -> tuple[list[tuple[str, bytes]], list[dict]]:
+    """Deterministic real-PDF fixture corpus.
+
+    Returns ``(files, truth)``: ``files`` is ``[(file_name, pdf_bytes)]`` —
+    1-3 pages each, words laid out in strict reading order with tight
+    intra-line gaps (6 px < the paragraph-break threshold) so the expected
+    extraction is known by construction; ``truth`` rows are
+    ``{file_name, page_number, text}`` with ``text`` = lines joined by
+    newline, words by space. Odd documents use Flate-compressed content
+    streams so both filter paths are exercised.
+    """
+    from .kernels.pdf import write_pdf
+
+    files: list[tuple[str, bytes]] = []
+    truth: list[dict] = []
+    for i in range(n_docs):
+        rng = _rng(seed, "pdf", i)
+        n_pages = rng.randint(1, 3)
+        pages = []
+        for p in range(n_pages):
+            width, height = 600.0, 400.0
+            words = []
+            lines: list[str] = []
+            n_lines = rng.randint(1, 8)
+            for li in range(n_lines):
+                baseline = height - 40.0 - 28.0 * li
+                x = 50.0
+                line_words = []
+                for _ in range(rng.randint(2, 6)):
+                    t = rng.choice(VOCAB)
+                    words.append((t, x, baseline, 12))
+                    x += 0.5 * 12 * len(t) + 6.0
+                    line_words.append(t)
+                lines.append(" ".join(line_words))
+            pages.append({"width": width, "height": height, "words": words})
+            truth.append(
+                {
+                    "file_name": f"doc-{i:03d}.pdf",
+                    "page_number": p,
+                    "text": "\n".join(lines),
+                }
+            )
+        files.append((f"doc-{i:03d}.pdf", write_pdf(pages, compress=bool(i % 2))))
+    return files, truth
+
+
+def make_deskew_docs(n_docs: int = 100, seed: int = 42) -> pa.Table:
+    """Deterministic skewed pages: clean multi-line word grids rotated about
+    the page center by a known angle (multiples of 0.5° in [-8, 8]); the true
+    angle is embedded so the SQL oracle can assert the estimator's answer."""
+    from .kernels.transforms import rotate_boxes_by_degrees
+
+    payloads = []
+    angles = []
+    for i in range(n_docs):
+        rng = _rng(seed, "deskew", i)
+        angle = 0.5 * rng.randint(-16, 16)
+        boxes = []
+        texts = []
+        for line in range(rng.randint(6, 12)):
+            y = 40.0 + 28.0 * line
+            x = 50.0
+            for _ in range(rng.randint(4, 8)):
+                t = rng.choice(VOCAB)
+                w = 7.0 * len(t)
+                boxes.append([x, y, x + w, y + 14.0])
+                texts.append(t)
+                x += w + 8.0
+        import numpy as _np
+
+        rot = rotate_boxes_by_degrees(_np.array(boxes), angle, 600.0, 400.0)
+        words = [
+            {"text": t, "x0": round(b[0], 2), "top": round(b[1], 2),
+             "x1": round(b[2], 2), "bottom": round(b[3], 2)}
+            for t, b in zip(texts, rot)
+        ]
+        payloads.append(
+            json.dumps({"page": {"width": 600, "height": 400}, "words": words, "true_angle": angle})
+        )
+        angles.append(angle)
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(payloads, pa.string()),
+            "true_angle": pa.array(angles, pa.float64()),
+        }
+    )
+
+
 _KIND_BUILDERS = {"plain": _make_plain, "html": _make_html, "pdfish": _make_pdfish}
 _KIND_TOOL = {"plain": "", "html": "browser", "pdfish": "pdf_reader"}
 

@@ -1,0 +1,111 @@
+"""Dataset-builder surface (datasets.py): canonical schema, registry,
+merge bookkeeping — CustomDataset/DatasetCard/MergeDataset analogs
+(dd_datasets/base.py:179-520, dataflow_builder.py:33-110)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def coco_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("coco")
+    doc = {
+        "images": [
+            {"id": 1, "file_name": "a.png", "width": 100, "height": 80},
+            {"id": 2, "file_name": "b.png", "width": 100, "height": 80},
+            {"id": 3, "file_name": "empty.png", "width": 50, "height": 50},
+        ],
+        "annotations": [
+            {"id": 10, "image_id": 1, "category_id": 7, "bbox": [10, 20, 30, 40]},
+            {"id": 11, "image_id": 1, "category_id": 8, "bbox": [0, 0, 5, 5]},
+            {"id": 12, "image_id": 2, "category_id": 7, "bbox": [1, 1, 2, 2]},
+        ],
+        "categories": [{"id": 7, "name": "text"}, {"id": 8, "name": "table"}],
+    }
+    with open(d / "annotations.json", "w") as fh:
+        json.dump(doc, fh)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def pubtabnet_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ptn")
+    recs = [
+        {
+            "imgid": 1, "filename": "t1.png", "split": "train", "width": 200, "height": 100,
+            "html": {"cells": [{"tokens": ["a"], "bbox": [0, 0, 50, 30]},
+                               {"tokens": ["b"], "bbox": [50, 0, 100, 30]}]},
+        },
+        {
+            "imgid": 2, "filename": "t2.png", "split": "val", "width": 200, "height": 100,
+            "html": {"cells": [{"tokens": ["c"], "bbox": [0, 0, 40, 20]}]},
+        },
+    ]
+    with open(d / "examples.jsonl", "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+def test_coco_like_builds_canonical(ray_session, coco_dir):
+    from deepdoctection_ray.datasets import get_dataset
+
+    ds = get_dataset("coco_like", location=coco_dir)
+    df = ds.build("train").to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert list(df.columns) == ["image_id", "file_name", "split", "width", "height", "annotations"]
+    assert len(df) == 3  # zero-annotation image kept
+    anns1 = df.iloc[0]["annotations"]
+    assert {a["category"] for a in anns1} == {"text", "table"}
+    a = [x for x in anns1 if x["category"] == "text"][0]
+    assert (a["x0"], a["top"], a["x1"], a["bottom"]) == (10.0, 20.0, 40.0, 60.0)  # xywh→xyxy
+    assert list(df.iloc[2]["annotations"]) == []
+
+
+def test_build_split_guard_and_limit(ray_session, coco_dir):
+    from deepdoctection_ray.datasets import get_dataset
+
+    ds = get_dataset("coco_like", location=coco_dir)
+    with pytest.raises(KeyError, match="no split"):
+        ds.build("test")
+    assert ds.build("train", max_datapoints=2).count() == 2
+
+
+def test_pubtabnet_like_split_filter(ray_session, pubtabnet_dir):
+    from deepdoctection_ray.datasets import get_dataset
+
+    ds = get_dataset(
+        "pubtabnet_like",
+        location=pubtabnet_dir,
+        annotation_files={"train": "examples.jsonl", "val": "examples.jsonl"},
+    )
+    train = ds.build("train").to_pandas()
+    val = ds.build("val").to_pandas()
+    assert len(train) == 1 and train.iloc[0]["file_name"] == "t1.png"
+    assert len(val) == 1 and val.iloc[0]["file_name"] == "t2.png"
+    assert [a["category"] for a in train.iloc[0]["annotations"]] == ["cell", "cell"]
+
+
+def test_merge_datasets_provenance(ray_session, coco_dir, pubtabnet_dir):
+    from deepdoctection_ray.datasets import get_dataset, merge_datasets
+
+    merged = merge_datasets(
+        [
+            get_dataset("coco_like", location=coco_dir),
+            get_dataset("pubtabnet_like", location=pubtabnet_dir),
+        ]
+    ).to_pandas()
+    assert len(merged) == 4
+    assert set(merged["dataset_name"]) == {"coco_like", "pubtabnet_like"}
+
+
+def test_dataset_card_roundtrip(tmp_path):
+    from deepdoctection_ray.datasets import DatasetCard
+
+    card = DatasetCard(name="x", dataset_type="d", location="/x", init_categories=["a"])
+    p = os.path.join(tmp_path, "card.json")
+    card.save(p)
+    assert DatasetCard.load(p) == card

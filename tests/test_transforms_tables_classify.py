@@ -259,3 +259,31 @@ def test_parse_xml_payload():
     assert d["children"][0]["text"] == "T"
     texts = [c["text"] for c in d["children"][1]["children"]]
     assert texts == ["one", "two"]
+
+
+def test_deskew_recovers_known_angle():
+    """Projection-profile estimator: rotate a clean multi-line page by a known
+    angle; the estimate lands within ±0.5 degrees (reference extern/deskew.py
+    semantics, geometry-based)."""
+    import numpy as np
+
+    from deepdoctection_ray.kernels.transforms import (
+        estimate_skew_angle,
+        rotate_boxes_by_degrees,
+    )
+
+    rng = np.random.RandomState(5)
+    boxes = []
+    for line in range(12):
+        y = 40.0 + 30.0 * line
+        x = 50.0
+        for _ in range(8):
+            w = rng.uniform(20, 60)
+            boxes.append([x, y, x + w, y + 14.0])
+            x += w + 8.0
+    boxes = np.array(boxes)
+    assert abs(estimate_skew_angle(boxes)) <= 0.2  # clean page ≈ 0°
+    for true_angle in (-4.0, 2.5, 7.0):
+        rotated = rotate_boxes_by_degrees(boxes, true_angle, 600.0, 400.0)
+        est = estimate_skew_angle(rotated)
+        assert abs(est - (-true_angle)) <= 0.5, (true_angle, est)
