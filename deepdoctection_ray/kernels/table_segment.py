@@ -93,3 +93,85 @@ def segment_table_payload(
         "csv": grid_to_csv(grid),
         "html": grid_to_html(grid),
     }
+
+
+def refine_cells(cells: list[tuple[int, int, int, int]]) -> list[tuple[int, int, int, int]]:
+    """``TableSegmentationRefinementService`` rectangle refinement
+    (``pipe/refine.py:412-581`` with helpers :51-232; the networkx connected
+    components are a union-find here):
+
+    1. every cell occupies its (row..row+rs) x (col..col+cs) tile footprint
+       (``tiles_to_cells``);
+    2. cells sharing a tile join one component (``connected_component_tiles``);
+    3. components close to rectangles: while a component's bounding rectangle
+       contains a tile it does not own, the owner (another component, or the
+       bare hole) merges in (``generate_rectangle_tiling`` fixed point);
+    4. each final component becomes ONE merged cell at its bounding-rectangle
+       position (``_tiling_to_cell_position``) — the number of rows/columns
+       never changes, only the number of cells.
+
+    ``cells`` are 1-based ``(row, col, rs, cs)``; output is sorted (row, col).
+    """
+    n = len(cells)
+    if n == 0:
+        return []
+    parent = list(range(n))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    tile_owner: dict[tuple[int, int], int] = {}
+    for idx, (r, c, rs, cs) in enumerate(cells):
+        for k in range(rs):
+            for l in range(cs):
+                tile = (r + k, c + l)
+                if tile in tile_owner:
+                    union(tile_owner[tile], idx)
+                else:
+                    tile_owner[tile] = idx
+
+    comp_tiles: dict[int, set[tuple[int, int]]] = {}
+    for tile, idx in tile_owner.items():
+        comp_tiles.setdefault(find(idx), set()).add(tile)
+    comps = list(comp_tiles.values())
+
+    changed = True
+    while changed:
+        changed = False
+        for i, tiles in enumerate(comps):
+            rows = [t[0] for t in tiles]
+            cols = [t[1] for t in tiles]
+            rect = {
+                (r, c)
+                for r in range(min(rows), max(rows) + 1)
+                for c in range(min(cols), max(cols) + 1)
+            }
+            missing = rect - tiles
+            if not missing:
+                continue
+            hole = next(iter(missing))
+            other = next((j for j, t in enumerate(comps) if j != i and hole in t), None)
+            if other is not None:
+                comps[i] = tiles | comps[other]
+                del comps[other]
+            else:
+                comps[i] = tiles | {hole}  # bare hole absorbed into the rectangle
+            changed = True
+            break
+
+    out = []
+    for tiles in comps:
+        rows = [t[0] for t in tiles]
+        cols = [t[1] for t in tiles]
+        out.append(
+            (min(rows), min(cols), max(rows) - min(rows) + 1, max(cols) - min(cols) + 1)
+        )
+    return sorted(out)

@@ -98,3 +98,37 @@ def test_full_payload_pass():
     assert res["n_rows"] == 2 and res["n_cols"] == 2
     assert res["cells"] == [(1, 1, 1, 2), (2, 1, 1, 1), (2, 2, 1, 1)]
     assert "colspan=2" in res["html"]
+
+
+def test_refine_merges_double_allocated_cells():
+    """refine.py docstring case: two cells on the same tile merge to one."""
+    from deepdoctection_ray.kernels.table_segment import refine_cells
+
+    out = refine_cells([(1, 1, 1, 1), (1, 1, 1, 1), (2, 1, 1, 1)])
+    assert out == [(1, 1, 1, 1), (2, 1, 1, 1)]
+
+
+def test_refine_keeps_clean_tiling():
+    from deepdoctection_ray.kernels.table_segment import refine_cells
+
+    cells = [(1, 1, 1, 2), (2, 1, 1, 1), (2, 2, 1, 1)]
+    assert refine_cells(cells) == sorted(cells)
+
+
+def test_refine_closes_l_shape_to_rectangle():
+    """The docstring's full-merge case: an L-shaped component swallows the
+    cell occupying its bounding-rectangle hole — the whole table becomes one
+    cell."""
+    from deepdoctection_ray.kernels.table_segment import refine_cells
+
+    cells = [(1, 1, 2, 1), (2, 1, 1, 2), (1, 2, 1, 1)]
+    assert refine_cells(cells) == [(1, 1, 2, 2)]
+
+
+def test_refine_absorbs_bare_hole():
+    from deepdoctection_ray.kernels.table_segment import refine_cells
+
+    # L-shaped single component with an unoccupied hole: rectangle closure
+    # absorbs the empty tile rather than leaving a non-rectangular cell
+    cells = [(1, 1, 2, 1), (2, 1, 1, 2)]
+    assert refine_cells(cells) == [(1, 1, 2, 2)]
