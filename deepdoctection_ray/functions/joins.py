@@ -85,6 +85,12 @@ def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
         if meta.num_rows
     ]
     if not refs:
+        # every block empty: synthesize ONE typed empty block from the known
+        # schema so a downstream join still sees its key columns
+        schema = mat.schema()
+        if schema is not None and schema.names:
+            empty = pa.schema(zip(schema.names, schema.types)).empty_table()
+            return ray.data.from_arrow(empty)
         return mat
     return ray.data.from_arrow_refs(refs)
 

@@ -169,9 +169,13 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
         )
         return pa.table({"l_orderkey": batch["l_orderkey"], "rev_u": rev_u})
 
-    odim = orders_b.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"]).rename_columns(
-        {"o_orderkey": "l_orderkey"}
-    )
+    from .functions.joins import drop_empty_blocks
+
+    # the semi join's empty partitions may emit schema-less blocks; scrub the
+    # join→join seam (orders_b is dimension-sized after both filters)
+    odim = drop_empty_blocks(
+        orders_b.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+    ).rename_columns({"o_orderkey": "l_orderkey"})
     joined = hash_join(
         line.map_batches(prep, batch_format="pyarrow"),
         odim,

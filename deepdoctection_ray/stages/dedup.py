@@ -125,22 +125,27 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self._text_column].to_pylist()
-        ids = batch[self._id_column].to_pylist()
-        band_ids: list[int] = []
-        band_keys: list[str] = []
-        out_ids: list = []
+        n = len(texts)
         r = self._rows_per_band
-        for doc_id, text in zip(ids, texts):
-            sig = minhash_signature(shingle_hashes(text or "", self._k), self._a, self._b)
-            for band in range(self._bands):
-                band_ids.append(band)
-                band_keys.append(md5_hex(sig[band * r : (band + 1) * r].tobytes()))
-                out_ids.append(doc_id)
+        sigs = np.empty((n, self._bands * r), dtype=np.uint64)
+        for i, text in enumerate(texts):  # shingling is per-doc; the rest is matrix ops
+            sigs[i] = minhash_signature(shingle_hashes(text or "", self._k), self._a, self._b)
+        # band key: mix the band's signature rows into ONE uint64 (multiply-
+        # xor chain) — replaces a per-band md5 call; collisions only create
+        # extra candidates that exact-Jaccard verification discards
+        mixed = sigs[:, 0::r].copy()
+        prime = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            for j in range(1, r):
+                mixed = mixed * prime ^ sigs[:, j::r]
+        band_ids = np.tile(np.arange(self._bands, dtype=np.int32), n)
+        keys = mixed.reshape(-1).view(np.int64)
+        idx = np.repeat(np.arange(n, dtype=np.int64), self._bands)
         return pa.table(
             {
                 "band": pa.array(band_ids, pa.int32()),
-                "band_key": pa.array(band_keys, pa.string()),
-                self._id_column: pa.array(out_ids, batch[self._id_column].type),
+                "band_key": pa.array(keys, pa.int64()),
+                self._id_column: pc.take(batch[self._id_column], pa.array(idx, pa.int64())),
             }
         )
 
@@ -170,13 +175,23 @@ def _grouped_collisions(
     import pandas as pd
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
-        key = df[group_cols[0]].astype(str)
-        for c in group_cols[1:]:
-            key = key + "\x1f" + df[c].astype(str)
         df = df.copy()
-        df["__bucket"] = (
-            pd.util.hash_array(key.to_numpy(dtype=object)) % np.uint64(num_buckets)
-        ).astype(np.int64)
+        arrays = [df[c].to_numpy() for c in group_cols]
+        if all(np.issubdtype(a.dtype, np.number) for a in arrays):
+            # numeric keys (LSH band ids/keys): one multiply-xor mix, no
+            # per-row string building
+            acc = arrays[0].astype(np.uint64)
+            prime = np.uint64(0x9E3779B97F4A7C15)
+            with np.errstate(over="ignore"):
+                for a in arrays[1:]:
+                    acc = acc * prime ^ a.astype(np.uint64)
+            bucket = acc % np.uint64(num_buckets)
+        else:
+            key = df[group_cols[0]].astype(str)
+            for c in group_cols[1:]:
+                key = key + "\x1f" + df[c].astype(str)
+            bucket = pd.util.hash_array(key.to_numpy(dtype=object)) % np.uint64(num_buckets)
+        df["__bucket"] = bucket.astype(np.int64)
         return df
 
     def emit_arrow(g):
@@ -319,7 +334,9 @@ def dedup_minhash(
     side_a = doc_shingles.rename_columns({id_column: "id_a", "shingles": "shingles_a"})
     side_b = doc_shingles.rename_columns({id_column: "id_b", "shingles": "shingles_b"})
     withs = hash_join(pairs, side_a, "id_a", ["shingles_a"], how="inner")
-    withs = hash_join(withs, side_b, "id_b", ["shingles_b"], how="inner")
+    # a join's own empty partitions can also surface schema-less blocks —
+    # scrub the join→join seam (candidate-sized, cheap)
+    withs = hash_join(drop_empty_blocks(withs), side_b, "id_b", ["shingles_b"], how="inner")
 
     def verify_batch(batch: pa.Table) -> pa.Table:
         ja = [
