@@ -20,7 +20,7 @@ import ray
 import ray.data
 
 from .functions.aggregates import grouped_int_sums, grouped_sums
-from .functions.joins import broadcast_join, semi_join
+from .functions.joins import broadcast_join
 from .stages import dedup as dd
 from .stages import similarity as sim
 from .stages import text_stats as ts
@@ -31,12 +31,6 @@ from .stages.extract import TurnExtractor
 
 def _t(sf_dir: str, name: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
-
-
-def _round(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
-    for c, nd in cols.items():
-        df[c] = df[c].astype(float).round(nd)
-    return df
 
 
 # ------------------------------------------------------------ relational core
