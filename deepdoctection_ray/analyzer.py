@@ -99,7 +99,8 @@ class Analyzer:
                 concurrency=conc,
                 batch_size=64,
                 fn_constructor_kwargs=kwargs,
-            )
+            ).drop_columns(["pdf_bytes"])  # maybe_remove_image analog: raw page
+            # bytes never leave the extraction stage in the Page projection
         if self.cfg["USE_LANGUAGE_DETECTION"]:
             from .stages.text_stats import LanguageId
 

@@ -30,6 +30,13 @@ def main(argv: list[str] | None = None) -> int:
     p_ex.add_argument("--num-cpus", type=int, default=None,
                       help="local-mode CPU count; omit on a real cluster")
 
+    p_an = sub.add_parser("analyze", help="flagship analyze: PDF file/dir or transcript dir")
+    p_an.add_argument("--path", required=True)
+    p_an.add_argument("--output", default=None, help="parquet output dir (default: print row count)")
+    p_an.add_argument("--config", action="append", default=[], metavar="KEY=VALUE",
+                      help="config overwrite, repeatable (e.g. USE_LANGUAGE_DETECTION=True)")
+    p_an.add_argument("--num-cpus", type=int, default=None)
+
     p_sy = sub.add_parser("synth", help="generate a synthetic transcript corpus")
     p_sy.add_argument("--output", required=True)
     p_sy.add_argument("--n-convs", type=int, default=1000)
@@ -55,6 +62,16 @@ def main(argv: list[str] | None = None) -> int:
                 args.input, args.output, num_partitions=args.num_partitions, resume=args.resume
             )
             print(json.dumps(summary))
+        elif args.cmd == "analyze":
+            from .analyzer import get_analyzer
+
+            ds = get_analyzer(args.config or None).analyze(args.path)
+            if args.output:
+                ds.write_parquet(args.output)
+                print(json.dumps({"output": args.output}))
+            else:
+                df = ds.to_pandas()
+                print(json.dumps({"rows": len(df), "columns": list(df.columns)}))
         elif args.cmd == "synth":
             from .synth import write_transcripts
 

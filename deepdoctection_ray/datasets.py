@@ -236,6 +236,62 @@ def pubtabnet_like_dataset(location: str, annotation_files: dict[str, str] | Non
     return CustomDataset(card, builder)
 
 
+@register_dataset("funsd_like")
+def funsd_like_dataset(location: str, annotation_files: dict[str, str] | None = None) -> CustomDataset:
+    """FUNSD-style token-classification JSONL
+    (``dd_datasets/instances/funsd.py`` shape): one JSON object per line with
+    ``id``, ``width``, ``height`` and ``form`` entries carrying a semantic
+    ``label`` (question/answer/header/other) plus per-word boxes. Each word
+    becomes a ``word`` annotation whose category is the entity label — the
+    exact input :class:`stages.layoutlm.LayoutLMFeaturizer` consumes for
+    token classification."""
+    card = DatasetCard(
+        name="funsd_like",
+        dataset_type="token_classification",
+        location=location,
+        init_categories=["question", "answer", "header", "other"],
+        annotation_files=annotation_files or {"train": "annotations.jsonl"},
+    )
+
+    def builder(card: DatasetCard, split: str) -> ray.data.Dataset:
+        path = os.path.join(card.location, card.annotation_files[split])
+        raw = ray.data.read_json(path)
+
+        def to_canonical(batch: pa.Table) -> pa.Table:
+            rows = []
+            for rec in batch.to_pylist():
+                anns = []
+                for entity in rec.get("form") or []:
+                    label = entity.get("label", "other")
+                    for w in entity.get("words") or []:
+                        x0, y0, x1, y1 = w["box"]
+                        anns.append(
+                            {
+                                "category": label,
+                                "x0": float(x0),
+                                "top": float(y0),
+                                "x1": float(x1),
+                                "bottom": float(y1),
+                                "score": 1.0,
+                            }
+                        )
+                rows.append(
+                    {
+                        "image_id": str(rec.get("id", "")),
+                        "file_name": rec.get("file_name", f"{rec.get('id','')}.png"),
+                        "split": split,
+                        "width": float(rec.get("width", 0)),
+                        "height": float(rec.get("height", 0)),
+                        "annotations": anns,
+                    }
+                )
+            return _canonical_table(rows)
+
+        return raw.map_batches(to_canonical, batch_format="pyarrow")
+
+    return CustomDataset(card, builder)
+
+
 def merge_datasets(datasets: list[CustomDataset], split: str = "train", **build_kwargs) -> ray.data.Dataset:
     """``MergeDataset`` analog (``dd_datasets/base.py:179-409``): union the
     canonical builds and tag provenance in a ``dataset_name`` column so split

@@ -1,0 +1,150 @@
+"""Pure-numpy image codecs and transforms — no PIL/OpenCV in this
+environment, but BMP and PPM/PGM are spec-simple enough to implement
+directly, which turns the multimodal decode stage from a declared stub into
+a real operator for the uncompressed formats:
+
+- BMP: 24-bit uncompressed BITMAPINFOHEADER, bottom-up or top-down rows,
+  4-byte row padding (the Windows DIB spec);
+- PPM (P6) / PGM (P5): binary netpbm with a single whitespace-separated
+  header;
+- nearest-neighbor resize and ITU-R 601 luma grayscale (the resize /
+  to-grayscale transforms the reference applies via its image deps,
+  ``utils/transform.py:145-200`` semantics).
+
+Encoders exist so fixtures are self-contained and round-trips are testable.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class ImageCodecError(ValueError):
+    pass
+
+
+def sniff_mime(data: bytes) -> str | None:
+    if data[:2] == b"BM":
+        return "image/bmp"
+    if data[:2] in (b"P6", b"P5"):
+        return "image/x-portable-pixmap"
+    return None
+
+
+# ----------------------------------------------------------------------- BMP
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 [H, W, 3] (RGB) or [H, W] → 24-bit uncompressed BMP."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=2)
+    h, w, _ = img.shape
+    row_size = (w * 3 + 3) & ~3
+    image_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        bgr = img[y, :, ::-1].astype(np.uint8).tobytes()
+        rows.append(bgr + b"\x00" * (row_size - w * 3))
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → uint8 [H, W, 3] RGB."""
+    if data[:2] != b"BM":
+        raise ImageCodecError("not a BMP (missing 'BM' magic)")
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    header_size = struct.unpack_from("<I", data, 14)[0]
+    if header_size < 40:
+        raise ImageCodecError(f"unsupported BMP header size {header_size}")
+    w, h_raw = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ImageCodecError(
+            f"only 24-bit uncompressed BMP supported (got bpp={bpp}, compression={compression})"
+        )
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    row_size = (w * 3 + 3) & ~3
+    buf = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=pixel_offset)
+    rows = buf.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+# ----------------------------------------------------------------- PPM / PGM
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """uint8 [H, W, 3] → binary P6; [H, W] → binary P5."""
+    if img.ndim == 2:
+        h, w = img.shape
+        return f"P5 {w} {h} 255\n".encode() + img.astype(np.uint8).tobytes()
+    h, w, _ = img.shape
+    return f"P6 {w} {h} 255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    magic = data[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ImageCodecError("not a binary PPM/PGM (P6/P5)")
+    # header: magic, width, height, maxval — whitespace separated, optional
+    # '#' comments
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] not in b"\r\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ImageCodecError("16-bit netpbm not supported")
+    ch = 3 if magic == b"P6" else 1
+    buf = np.frombuffer(data, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return buf.reshape((h, w, 3) if ch == 3 else (h, w)).copy()
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    mime = sniff_mime(data)
+    if mime == "image/bmp":
+        return decode_bmp(data)
+    if mime == "image/x-portable-pixmap":
+        return decode_ppm(data)
+    raise ImageCodecError(
+        "unsupported image container (only BMP / binary PPM / PGM without "
+        "external codec libraries)"
+    )
+
+
+# ----------------------------------------------------------------- transforms
+
+
+def resize_nearest(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (``ResizeTransform.apply_image`` semantics)."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(new_h) * (h / new_h)).astype(np.int64), h - 1)
+    xs = np.minimum((np.arange(new_w) * (w / new_w)).astype(np.int64), w - 1)
+    return img[ys][:, xs]
+
+
+def to_grayscale(img: np.ndarray) -> np.ndarray:
+    """ITU-R 601 luma; uint8 in, uint8 out."""
+    if img.ndim == 2:
+        return img
+    f = img.astype(np.float64)
+    return np.clip(
+        0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2], 0, 255
+    ).astype(np.uint8)

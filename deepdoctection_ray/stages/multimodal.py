@@ -52,23 +52,45 @@ def make_media_table(n: int, seed: int = 5, kind: str = "image") -> pa.Table:
 class ImageDecoder:
     """Actor-pool decode stage.
 
-    ``fake=False`` → STUB: raises ``NotImplementedError`` (no codec libs in
-    this environment). ``fake=True`` → deterministic fake decode: payload
-    bytes reshaped to (height, width) uint8 via the meta struct.
+    REAL decode path for BMP / binary PPM / PGM payloads (pure-numpy codecs,
+    ``kernels/imaging.py`` — these containers need no external libraries).
+    JPEG/PNG/etc. remain honestly unsupported in this environment: without
+    ``fake=True`` they raise ``NotImplementedError`` naming the format;
+    ``fake=True`` keeps the deterministic synthetic decode (payload bytes
+    reshaped via the meta struct) for plumbing tests.
+
+    ``resize_to=(w, h)`` applies nearest-neighbor resize after decode —
+    the ``ResizeTransform`` half of the reference's image pre-processing.
     """
 
-    def __init__(self, fake: bool = False) -> None:
+    def __init__(self, fake: bool = False, resize_to: tuple[int, int] | None = None) -> None:
         self._fake = fake
+        self._resize = resize_to
 
     def _decode(self, payload: bytes, meta: dict) -> np.ndarray:
-        if not self._fake:
+        from ..kernels.imaging import (
+            ImageCodecError,
+            decode_image,
+            resize_nearest,
+            sniff_mime,
+            to_grayscale,
+        )
+
+        if self._fake:
+            w, h = meta["width"], meta["height"]
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            img = arr[: w * h].reshape(h, w)
+        elif sniff_mime(payload) is not None:
+            img = to_grayscale(decode_image(payload))
+        else:
             raise NotImplementedError(
-                "STUB: image codec not available in this environment; "
-                "run with fake=True or plug a real decoder here"
+                f"no codec for {meta.get('mime', 'unknown')!r} in this environment "
+                "(BMP / binary PPM / PGM decode natively; JPEG/PNG need an "
+                "external library — plug one in here)"
             )
-        w, h = meta["width"], meta["height"]
-        arr = np.frombuffer(payload, dtype=np.uint8)
-        return arr[: w * h].reshape(h, w)
+        if self._resize:
+            img = resize_nearest(img, *self._resize)
+        return img
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         metas = batch["media_meta"].to_pylist()

@@ -109,3 +109,32 @@ def test_dataset_card_roundtrip(tmp_path):
     p = os.path.join(tmp_path, "card.json")
     card.save(p)
     assert DatasetCard.load(p) == card
+
+
+def test_funsd_like_token_labels(ray_session, tmp_path_factory):
+    import json
+
+    from deepdoctection_ray.datasets import get_dataset
+
+    d = tmp_path_factory.mktemp("funsd")
+    recs = [
+        {
+            "id": 7, "width": 100, "height": 100,
+            "form": [
+                {"label": "question", "words": [
+                    {"text": "Name:", "box": [5, 5, 30, 12]}]},
+                {"label": "answer", "words": [
+                    {"text": "Ada", "box": [35, 5, 50, 12]},
+                    {"text": "L.", "box": [52, 5, 60, 12]}]},
+            ],
+        }
+    ]
+    with open(d / "annotations.jsonl", "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+    ds = get_dataset("funsd_like", location=str(d))
+    df = ds.build("train").to_pandas()
+    assert len(df) == 1
+    anns = df.iloc[0]["annotations"]
+    assert [a["category"] for a in anns] == ["question", "answer", "answer"]
+    assert anns[1]["x0"] == 35.0 and anns[1]["bottom"] == 12.0

@@ -1,0 +1,114 @@
+"""Pure-numpy image codecs (kernels/imaging.py) + the real decode path of the
+multimodal stage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from deepdoctection_ray.kernels.imaging import (
+    ImageCodecError,
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    resize_nearest,
+    sniff_mime,
+    to_grayscale,
+)
+
+
+def _img(seed=0, h=13, w=17):
+    return np.random.RandomState(seed).randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_bmp_roundtrip_exact():
+    img = _img()
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+def test_bmp_row_padding_widths():
+    for w in (1, 2, 3, 4, 5):  # every padding remainder
+        img = _img(w, h=3, w=w)
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+def test_ppm_and_pgm_roundtrip():
+    img = _img(2)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    gray = to_grayscale(img)
+    assert (decode_ppm(encode_ppm(gray)) == gray).all()
+
+
+def test_sniff_and_dispatch():
+    img = _img(3)
+    assert sniff_mime(encode_bmp(img)) == "image/bmp"
+    assert sniff_mime(encode_ppm(img)) == "image/x-portable-pixmap"
+    assert sniff_mime(b"\x89PNG...") is None
+    assert (decode_image(encode_bmp(img)) == img).all()
+    with pytest.raises(ImageCodecError, match="unsupported image container"):
+        decode_image(b"\x89PNG\r\n")
+
+
+def test_resize_nearest_shapes_and_identity():
+    img = _img(4, h=8, w=8)
+    assert resize_nearest(img, 8, 8).shape == img.shape
+    assert (resize_nearest(img, 8, 8) == img).all()
+    small = resize_nearest(img, 4, 2)
+    assert small.shape == (2, 4, 3)
+    assert (small[0, 0] == img[0, 0]).all()
+
+
+def test_image_decoder_stage_real_bmp(ray_session):
+    import ray.data
+
+    from deepdoctection_ray.stages.multimodal import MEDIA_META_TYPE, ImageDecoder
+
+    imgs = [_img(i, h=10 + i, w=12) for i in range(5)]
+    table = pa.table(
+        {
+            "media_id": pa.array(range(5), pa.int64()),
+            "payload": pa.array([encode_bmp(im) for im in imgs], pa.binary()),
+            "media_meta": pa.array(
+                [
+                    {"mime": "image/bmp", "width": 12, "height": 10 + i, "duration_ms": 0}
+                    for i in range(5)
+                ],
+                MEDIA_META_TYPE,
+            ),
+        }
+    )
+    out = (
+        ray.data.from_arrow(table)
+        .map_batches(ImageDecoder, batch_format="pyarrow", concurrency=(1, 2), batch_size=2)
+        .to_pandas()
+    )
+    assert "payload" not in out.columns  # binary dropped at the stage exit
+    for i, feat in enumerate(out.sort_values("media_id")["features"]):
+        expect = to_grayscale(imgs[i])
+        assert feat["n_pixels"] == expect.size
+        assert feat["mean"] == pytest.approx(float(expect.mean()), abs=1e-6)
+
+
+def test_image_decoder_unsupported_format_raises(ray_session):
+    import ray.data
+
+    from deepdoctection_ray.stages.multimodal import MEDIA_META_TYPE, ImageDecoder
+
+    table = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([b"\x89PNG\r\n\x1a\n...."], pa.binary()),
+            "media_meta": pa.array(
+                [{"mime": "image/png", "width": 1, "height": 1, "duration_ms": 0}],
+                MEDIA_META_TYPE,
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(table).map_batches(
+        ImageDecoder, batch_format="pyarrow", concurrency=(1, 2)
+    )
+    with pytest.raises(Exception, match="image/png"):
+        ds.to_pandas()
