@@ -707,6 +707,13 @@ def q_knn_lsh(sf_dir: str) -> ray.data.Dataset:
     return sim.knn_lsh(emb, query_ids=[0, 1, 2], k=10, planes=6)
 
 
+def q_knn_ivf(sf_dir: str) -> ray.data.Dataset:
+    """IVF ANN: deterministic distributed k-means cells, n_probe nearest
+    cells scanned per query (recall pinned by pytest vs knn_brute)."""
+    emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return sim.knn_ivf(emb, query_ids=[0, 1, 2], k=10, n_centroids=16, n_probe=6)
+
+
 # ----------------------------------------------------------- extraction demo
 
 
@@ -1199,6 +1206,7 @@ def build_queries() -> dict:
         "q_dedup_embedding": q_dedup_embedding,
         "q_knn_cosine": q_knn_cosine,
         "q_knn_lsh": q_knn_lsh,
+        "q_knn_ivf": q_knn_ivf,
         "q_extract_transcripts": q_extract_transcripts,
         "q_extract_layout": q_extract_layout,
         "q_conv_stats": q_conv_stats,

@@ -9,6 +9,10 @@
 - :func:`knn_lsh` — the scale path: random-hyperplane bucketing with
   multi-probe (flip each signature bit once), brute-force only within probed
   buckets. Recall is tested against :func:`knn_brute`.
+- :func:`knn_ivf` — inverted-file ANN: deterministic distributed k-means
+  (seeded init, Lloyd iterations via per-batch partial sums — only
+  ``n_centroids × n_batches`` tiny rows reach the driver), then queries probe
+  their ``n_probe`` nearest centroid cells and brute-force only those.
 """
 
 from __future__ import annotations
@@ -196,3 +200,130 @@ def knn_lsh(
         )
 
     return partial.groupby("query_id").map_groups(reduce_topk, batch_format="pyarrow")
+
+
+def _collect_queries(ds, query_ids, id_column, embedding_column):
+    import pyarrow.compute as pc
+
+    q_rows = (
+        ds.map_batches(
+            lambda b: b.filter(pc.is_in(b[id_column], value_set=pa.array(query_ids))),
+            batch_format="pyarrow",
+        )
+        .select_columns([id_column, embedding_column])
+        .take_all()
+    )
+    q_rows.sort(key=lambda r: r[id_column])
+    return q_rows
+
+
+def _reduce_topk(k: int):
+    def reduce_topk(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group["vec_id"].to_pylist(), group["cosine"].to_pylist()),
+            key=lambda r: (-r[1], r[0]),
+        )[:k]
+        qid = group["query_id"][0].as_py()
+        return _topk_table(
+            [qid] * len(rows),
+            [r[0] for r in rows],
+            [r[1] for r in rows],
+            group["vec_id"].type,
+            group["query_id"].type,
+        )
+
+    return reduce_topk
+
+
+def train_ivf_centroids(
+    ds: ray.data.Dataset,
+    n_centroids: int = 16,
+    embedding_column: str = "embedding",
+    seed: int = 13,
+    lloyd_iters: int = 2,
+) -> np.ndarray:
+    """Deterministic distributed k-means on the unit sphere.
+
+    Seeded gaussian init; each Lloyd iteration is ONE ``map_batches`` pass
+    emitting per-batch (centroid, sum-vector, count) partials — the driver
+    merges ``n_centroids × n_batches`` tiny rows, never the vectors. Empty
+    cells keep their previous centroid (deterministic).
+    """
+    first = ds.take(1)[0]
+    dim = len(first[embedding_column])
+    cent = _unit(np.random.RandomState(seed).standard_normal((n_centroids, dim)))
+    for _ in range(lloyd_iters):
+        cent_t = cent.T.copy()
+
+        def partials(batch: pa.Table) -> pa.Table:
+            emb = _unit(np.asarray(batch[embedding_column].to_pylist(), dtype=np.float64))
+            assign = np.argmax(emb @ cent_t, axis=1)
+            sums = np.zeros((n_centroids, emb.shape[1]))
+            np.add.at(sums, assign, emb)
+            counts = np.bincount(assign, minlength=n_centroids)
+            keep = np.nonzero(counts)[0]
+            return pa.table(
+                {
+                    "centroid": pa.array(keep.astype(np.int32), pa.int32()),
+                    "vec_sum": pa.array([sums[c].tobytes() for c in keep], pa.binary()),
+                    "count": pa.array(counts[keep].astype(np.int64), pa.int64()),
+                }
+            )
+
+        rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+        sums = np.zeros((n_centroids, dim))
+        counts = np.zeros(n_centroids)
+        for r in rows:
+            sums[r["centroid"]] += np.frombuffer(r["vec_sum"], dtype=np.float64)
+            counts[r["centroid"]] += r["count"]
+        nonempty = counts > 0
+        cent = cent.copy()
+        cent[nonempty] = _unit(sums[nonempty] / counts[nonempty, None])
+    return cent
+
+
+def knn_ivf(
+    ds: ray.data.Dataset,
+    query_ids: list,
+    k: int = 10,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 13,
+    lloyd_iters: int = 2,
+) -> ray.data.Dataset:
+    """IVF approximate top-k: scan only the cells whose centroids are among
+    each query's ``n_probe`` nearest — scan cost ~ ``n_probe/n_centroids`` of
+    brute force at equal recall for clustered data."""
+    cent = train_ivf_centroids(
+        ds, n_centroids=n_centroids, embedding_column=embedding_column,
+        seed=seed, lloyd_iters=lloyd_iters,
+    )
+    q_rows = _collect_queries(ds, query_ids, id_column, embedding_column)
+    qvecs = _unit(np.asarray([r[embedding_column] for r in q_rows], dtype=np.float64))
+    sims = qvecs @ cent.T
+    probe: set[int] = set()
+    for row in sims:
+        for c in np.argsort(-row, kind="stable")[:n_probe]:
+            probe.add(int(c))
+    probe_arr = np.array(sorted(probe), dtype=np.int64)
+    cent_t = cent.T.copy()
+
+    def cell_filter(batch: pa.Table) -> pa.Table:
+        emb = _unit(np.asarray(batch[embedding_column].to_pylist(), dtype=np.float64))
+        assign = np.argmax(emb @ cent_t, axis=1)
+        return batch.filter(pa.array(np.isin(assign, probe_arr)))
+
+    query_ref = ray.put(
+        {"ids": [r[id_column] for r in q_rows], "vecs": [r[embedding_column] for r in q_rows]}
+    )
+    partial = ds.map_batches(cell_filter, batch_format="pyarrow").map_batches(
+        _BatchTopK,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs=dict(
+            query_ref=query_ref, k=k, embedding_column=embedding_column, id_column=id_column
+        ),
+    )
+    return partial.groupby("query_id").map_groups(_reduce_topk(k), batch_format="pyarrow")

@@ -110,3 +110,18 @@ def test_dedup_embedding_cosine(ray_session, clustered_embeddings):
     assert (pairs["cosine"] >= 0.99).all()
     # near-dup pairs must come from the same cluster
     assert ((pairs["id_a"] % 5) == (pairs["id_b"] % 5)).all()
+
+
+def test_knn_ivf_recall(ray_session, clustered_embeddings):
+    """IVF probe search recovers most of the exact top-k on clustered data
+    (the same recall bar the LSH variant meets)."""
+    from deepdoctection_ray.stages.similarity import knn_brute, knn_ivf
+
+    exact = knn_brute(clustered_embeddings, query_ids=[0, 1], k=5).to_pandas()
+    approx = knn_ivf(
+        clustered_embeddings, query_ids=[0, 1], k=5, n_centroids=8, n_probe=3
+    ).to_pandas()
+    for qid in (0, 1):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        assert len(e & a) / len(e) >= 0.8, (qid, e, a)
