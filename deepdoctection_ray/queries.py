@@ -602,6 +602,26 @@ def q_rolling_fingerprint(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+Q_ROLLING_FP_SQL = r"""
+-- winnowing-lite: minimum md5 over 8-token sliding windows (one window of
+-- all tokens when the document is short)
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(t) <= 8 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(generate_series(1, len(t) - 7),
+                                  i -> array_to_string(t[i:i+7], ' '))
+         END AS w
+  FROM toks
+)
+SELECT doc_id, list_aggregate(list_transform(w, x -> md5(x)), 'min') AS rolling_fp
+FROM wins
+"""
+
+
 # -------------------------------------------------------- dedup / similarity
 
 
@@ -1248,6 +1268,7 @@ def build_oracle_sql() -> dict:
         "q_knn_cosine": Q_KNN_SQL,
         "q_token_classes": Q_TOKEN_CLASSES_SQL,
         "q_lang_id": _lang_sql(),
+        "q_rolling_fingerprint": Q_ROLLING_FP_SQL,
         "q_dedup_minhash": Q_DEDUP_MINHASH_SQL,
         "q_dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
         "q_extract_transcripts": Q_EXTRACT_TRANSCRIPTS_SQL,
@@ -1261,7 +1282,7 @@ def build_oracle_sql() -> dict:
         "q_layoutlm_features": Q_LAYOUTLM_SQL,
         "q_deskew": Q_DESKEW_SQL,
         # still rows-only (not SQL-expressible): q_approx_distinct_users (HLL
-        # sketch), q_rolling_fingerprint (uint64 wraparound rolling hash),
-        # q_dedup_simhash (custom 64-bit signature), q_knn_lsh (approximate
-        # by design — recall pinned by pytest against the brute-force oracle)
+        # sketch), q_dedup_simhash (custom 64-bit signature), q_knn_lsh /
+        # q_knn_ivf (approximate by design — recall pinned by pytest against
+        # the brute-force oracle)
     }

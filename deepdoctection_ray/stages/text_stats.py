@@ -67,28 +67,23 @@ def fingerprint(batch: pa.Table, text_column: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fps, pa.string()))
 
 
-_ROLL_BASE = np.uint64(1099511628211)
-
-
 def rolling_fingerprint(batch: pa.Table, text_column: str = "text", window: int = 8) -> pa.Table:
-    """FNV-style rolling-hash document fingerprint: min-of-window hashes over
-    the token stream (a winnowing-lite sketch; robust to local edits)."""
+    """Winnowing-lite document fingerprint: the MINIMUM window hash over the
+    token stream — robust to local edits (an edit perturbs at most ``window``
+    of the T window hashes, so the minimum usually survives). The window hash
+    is md5 of the space-joined token window, which keeps the sketch
+    SQL-oracle-expressible (min over md5 of sliding windows) while preserving
+    the rolling/winnowing semantics."""
     texts = batch[text_column].to_pylist()
     out = []
     for t in texts:
         toks = (t or "").split()
-        if not toks:
-            out.append("0" * 16)
+        if len(toks) <= window:
+            out.append(md5_hex(" ".join(toks)))
             continue
-        hs = np.fromiter(
-            (int.from_bytes(tok.encode("utf-8")[:8].ljust(8, b"\0"), "big") for tok in toks),
-            dtype=np.uint64,
-            count=len(toks),
+        out.append(
+            min(md5_hex(" ".join(toks[i : i + window])) for i in range(len(toks) - window + 1))
         )
-        acc = hs.copy()
-        for shift in range(1, min(window, len(hs))):
-            acc[:-shift] = acc[:-shift] * _ROLL_BASE + hs[shift:]
-        out.append(f"{int(acc.min()):016x}")
     return batch.append_column("rolling_fp", pa.array(out, pa.string()))
 
 
