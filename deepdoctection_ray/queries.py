@@ -436,6 +436,65 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_sliding(sf_dir: str) -> ray.data.Dataset:
+    """HOPPING (sliding) window counts: 1-hour windows advancing every 30
+    minutes. Each event belongs to exactly two windows, emitted inside
+    ``map_batches`` (the flat-map replicate — no driver loop, no shuffle
+    beyond the final grouped count), keyed by the window START."""
+    ev = _t(sf_dir, "events", columns=["ts", "event_type", "value"])
+    size_us = 3_600_000_000
+    hop_us = 1_800_000_000
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy()  # µs since epoch
+        # window starts covering t: hop-aligned starts in (t - size, t]
+        first = (ts - size_us) // hop_us + 1
+        starts = np.concatenate([first * hop_us, (first + 1) * hop_us])
+        idx = np.concatenate([np.arange(len(ts))] * 2)
+        value_c = _cents(batch["value"])
+        return pa.table(
+            {
+                "window_start": pc.cast(
+                    pa.array(starts, pa.int64()), pa.timestamp("us")
+                ),
+                "event_type": pc.take(batch["event_type"], pa.array(idx, pa.int64())),
+                "value_c": pc.take(value_c, pa.array(idx, pa.int64())),
+            }
+        )
+
+    agg = grouped_int_sums(
+        ev.map_batches(explode_windows, batch_format="pyarrow"),
+        ["window_start", "event_type"],
+        ["value_c"],
+        count_alias="n",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_value"] = df["sum_value_c"] / 100.0
+        return df[["window_start", "event_type", "n", "sum_value"]]
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+Q_SLIDING_SQL = """
+-- hopping windows: every event joins the two hop-aligned 1h windows that
+-- contain it; integer-cent sums mirror the exact aggregation
+SELECT make_timestamp(w.start_us) AS window_start,
+       e.event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events e
+JOIN LATERAL (
+  SELECT unnest([
+    ((epoch_us(e.ts) - 3600000000) // 1800000000 + 1) * 1800000000,
+    ((epoch_us(e.ts) - 3600000000) // 1800000000 + 2) * 1800000000
+  ]) AS start_us
+) w ON true
+GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------------------------------- documents
 
 
@@ -1210,6 +1269,7 @@ def build_queries() -> dict:
         "q_events_by_type": q_events_by_type,
         "q_events_sessionize": q_events_sessionize,
         "q_events_hourly": q_events_hourly,
+        "q_events_sliding": q_events_sliding,
         "q_events_asof": q_events_asof,
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_doc_tokens": q_doc_tokens,
@@ -1257,6 +1317,7 @@ def build_oracle_sql() -> dict:
         "q_events_by_type": Q_EVENTS_TYPE_SQL,
         "q_events_sessionize": Q_SESSIONIZE_SQL,
         "q_events_hourly": Q_HOURLY_SQL,
+        "q_events_sliding": Q_SLIDING_SQL,
         "q_events_asof": Q_ASOF_SQL,
         "q_doc_tokens": Q_DOC_TOKENS_SQL,
         "q_doc_quality": Q_DOC_QUALITY_SQL,
