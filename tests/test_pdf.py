@@ -4,6 +4,8 @@ extern/pdftext.py:50-135, dd_core/utils/pdf_utils.py:406-545)."""
 
 from __future__ import annotations
 
+from struct import error as struct_error
+
 import pytest
 
 from deepdoctection_ray.kernels.pdf import PdfError, PdfReader, write_pdf
@@ -69,3 +71,33 @@ def test_split_pdf_pages_real_pdf():
     # legacy synthetic container still splits
     legacy = split_pdf_pages({"bytes": b"a%PAGE%b", "path": "/x/s.bin"})
     assert [r["pdf_bytes"] for r in legacy] == [b"a", b"b"]
+
+
+def test_pdf_reader_fuzz_never_crashes_unexpectedly():
+    """Poison-input robustness: arbitrary byte mutations of a valid PDF either
+    parse or raise a controlled error type — never hang or corrupt."""
+    from hypothesis import given, settings, strategies as st
+
+    base = write_pdf(PAGES)
+
+    @settings(max_examples=150, deadline=2000)
+    @given(
+        pos=st.integers(min_value=0, max_value=len(base) - 1),
+        chunk=st.binary(min_size=1, max_size=64),
+    )
+    def mutate(pos, chunk):
+        data = base[:pos] + chunk + base[pos + len(chunk):]
+        try:
+            reader = PdfReader(data)
+            for i in range(reader.num_pages):
+                reader.page_words(i)
+        except (PdfError, ValueError, KeyError, IndexError, struct_error, EOFError, OverflowError, MemoryError, TypeError, AttributeError) as _:
+            pass  # controlled failure classes
+        except Exception as exc:  # noqa: BLE001
+            import zlib
+            if isinstance(exc, zlib.error):
+                return
+            raise AssertionError(f"unexpected {type(exc).__name__}: {exc}") from exc
+
+    mutate()
+
