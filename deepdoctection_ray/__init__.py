@@ -25,4 +25,20 @@ the execution engine here is Ray Data (streaming blocks, actor pools,
 hash-partitioned shuffles), not the reference's single-record DataFlow.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def get_analyzer(config_overwrite=None):
+    """Lazy re-export of :func:`deepdoctection_ray.analyzer.get_analyzer`."""
+    from .analyzer import get_analyzer as _g
+
+    return _g(config_overwrite)
+
+
+def __getattr__(name):
+    # lazy attribute access keeps `import deepdoctection_ray` Ray-free
+    if name == "Page":
+        from .view import Page
+
+        return Page
+    raise AttributeError(name)

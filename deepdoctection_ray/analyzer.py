@@ -32,6 +32,7 @@ import ray.data
 DEFAULT_CONFIG: dict[str, Any] = {
     "MAX_LINK_DENSITY": 0.75,  # DEFAULT_MAX_LINK_DENSITY mirror
     "PARAGRAPH_BREAK": 0.035,
+    "USE_DESKEW": False,
     "USE_LANGUAGE_DETECTION": False,
     "USE_SEQUENCE_CLASSIFIER": False,
     "USE_TOKEN_CLASSIFIER": False,
@@ -79,6 +80,7 @@ class Analyzer:
         kwargs = dict(
             max_link_density=float(self.cfg["MAX_LINK_DENSITY"]),
             paragraph_break=float(self.cfg["PARAGRAPH_BREAK"]),
+            deskew=bool(self.cfg["USE_DESKEW"]),
         )
         if os.path.isdir(path) and any(
             f.endswith(".parquet") for f in os.listdir(path)

@@ -48,6 +48,7 @@ def extract_turn(
     max_link_density: float = DEFAULT_MAX_LINK_DENSITY,
     paragraph_break: float = PARAGRAPH_BREAK,
     html_parser: _BlockCollector | None = None,
+    deskew: bool = False,
 ) -> dict:
     """Extract one turn → dict with extracted_text / spans / blocks / kind / error.
 
@@ -62,7 +63,12 @@ def extract_turn(
 
             blocks = extract_layout(text, paragraph_break=paragraph_break)
         elif k == "pdfish":
-            blocks = extract_pdfish(text, paragraph_break)
+            if deskew:
+                from .pdf_layout import extract_pdfish_deskewed
+
+                blocks, _ = extract_pdfish_deskewed(text, paragraph_break)
+            else:
+                blocks = extract_pdfish(text, paragraph_break)
         elif k == "html":
             blocks = parse_html_blocks(text, max_link_density, parser=html_parser)
         else:

@@ -108,3 +108,36 @@ def extract_pdfish(payload: str, paragraph_break: float = PARAGRAPH_BREAK) -> li
         word_boxes = rotate_boxes(word_boxes, rotation, width, height)
         width, height = rotated_extent(rotation, width, height)
     return blocks_from_words(texts, word_boxes, width, height, paragraph_break)
+
+
+def extract_pdfish_deskewed(
+    payload: str,
+    paragraph_break: float = PARAGRAPH_BREAK,
+    min_angle: float = 0.5,
+) -> tuple[list[Block], float]:
+    """OPT-IN deskewing variant (``USE_DESKEW`` in the analyzer config): after
+    the right-angle rotation handling, the residual small-angle skew is
+    ESTIMATED from the word geometry (projection profile + per-line
+    regression, ``transforms.estimate_skew_angle``) and applied before any
+    ordering runs — the full ``SimpleTransformService`` including the angle
+    estimation the reference delegates to its deskew predictor
+    (``extern/deskew.py:37``). Returns ``(blocks, applied_angle_deg)``.
+
+    Kept OUT of the default path on purpose: the default pipeline is pinned
+    bit-exact against the reference, which does not deskew unless configured.
+    """
+    texts, word_boxes, width, height, rotation = parse_pdfish_payload(payload)
+    if rotation % 360 and word_boxes.shape[0]:
+        from .transforms import rotate_boxes, rotated_extent
+
+        word_boxes = rotate_boxes(word_boxes, rotation, width, height)
+        width, height = rotated_extent(rotation, width, height)
+    applied = 0.0
+    if word_boxes.shape[0] >= 3:
+        from .transforms import estimate_skew_angle, rotate_boxes_by_degrees
+
+        angle = estimate_skew_angle(word_boxes)
+        if abs(angle) >= min_angle:
+            word_boxes = rotate_boxes_by_degrees(word_boxes, angle, width, height)
+            applied = angle
+    return blocks_from_words(texts, word_boxes, width, height, paragraph_break), applied

@@ -92,12 +92,14 @@ class TurnExtractor:
         paragraph_break: float = PARAGRAPH_BREAK,
         keep_payload: bool = False,
         text_column: str = "text",
+        deskew: bool = False,
     ) -> None:
         self._parser = _BlockCollector()  # warm parser, reused across batches
         self._mld = max_link_density
         self._pb = paragraph_break
         self._keep_payload = keep_payload
         self._text_column = text_column
+        self._deskew = deskew
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self._text_column).to_pylist()
@@ -122,6 +124,7 @@ class TurnExtractor:
                 max_link_density=self._mld,
                 paragraph_break=self._pb,
                 html_parser=self._parser,
+                deskew=self._deskew,
             )
             extracted.append(res["extracted_text"])
             kinds.append(res["payload_kind"])
