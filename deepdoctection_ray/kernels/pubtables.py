@@ -53,16 +53,19 @@ def _iou(a: np.ndarray, b: np.ndarray) -> float:
 def stretch_items(
     row_boxes: np.ndarray, col_boxes: np.ndarray, table_box: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Rows stretch horizontally to the table edges, columns vertically
-    (``pipe/segment.py:149-233``)."""
+    """Rows stretch horizontally to ONE PIXEL inside the table edges, columns
+    vertically — the reference's absolute-coordinate convention
+    (``pipe/segment.py:186-189``: ``table.ulx + 1.0`` / ``table.lrx - 1.0``;
+    its relative-coordinate branch even divides the lrx inset by the page
+    HEIGHT, ``segment.py:191-192`` — a quirk this rebuild does not copy)."""
     rows = row_boxes.copy()
     cols = col_boxes.copy()
     if rows.size:
-        rows[:, 0] = table_box[0]
-        rows[:, 2] = table_box[2]
+        rows[:, 0] = table_box[0] + 1.0
+        rows[:, 2] = table_box[2] - 1.0
     if cols.size:
-        cols[:, 1] = table_box[1]
-        cols[:, 3] = table_box[3]
+        cols[:, 1] = table_box[1] + 1.0
+        cols[:, 3] = table_box[3] - 1.0
     return rows, cols
 
 

@@ -23,12 +23,25 @@ ROWS = np.array([[5.0, 2.0, 190.0, 48.0], [4.0, 52.0, 195.0, 99.0]])
 COLS = np.array([[2.0, 3.0, 98.0, 97.0], [102.0, 2.0, 198.0, 98.0]])
 
 
-def test_stretch_items_snaps_to_table_edges():
+def test_stretch_items_insets_one_pixel_from_table_edges():
+    """Reference convention (segment.py:186-189, pinned by the reference's own
+    test_stretch_items expected values): stretched edges sit at table ±1."""
     rows, cols = stretch_items(ROWS, COLS, TABLE)
-    assert (rows[:, 0] == 0.0).all() and (rows[:, 2] == 200.0).all()
-    assert (cols[:, 1] == 0.0).all() and (cols[:, 3] == 100.0).all()
+    assert (rows[:, 0] == 1.0).all() and (rows[:, 2] == 199.0).all()
+    assert (cols[:, 1] == 1.0).all() and (cols[:, 3] == 99.0).all()
     # the stacking axis is untouched
     assert rows[0, 1] == 2.0 and rows[0, 3] == 48.0
+
+
+def test_stretch_matches_reference_fixture_expectations():
+    """The reference's test_segment.py::test_stretch_items geometry, absolute
+    frame: table (100,100,200,400); stretched rows land at x = 101 / 199."""
+    import numpy as np
+
+    table = np.array([100.0, 100.0, 200.0, 400.0])
+    refs_rows = np.array([[115.0, 300.0, 160.0, 350.0], [115.0, 400.0, 170.0, 440.0]])
+    rows, _ = stretch_items(refs_rows, np.empty((0, 4)), table)
+    assert (rows[:, 0] == 101.0).all() and (rows[:, 2] == 199.0).all()
 
 
 def test_tile_items_left_rule_closes_gaps():
