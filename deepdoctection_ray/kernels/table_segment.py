@@ -175,3 +175,77 @@ def refine_cells(cells: list[tuple[int, int, int, int]]) -> list[tuple[int, int,
             (min(rows), min(cols), max(rows) - min(rows) + 1, max(cols) - min(cols) + 1)
         )
     return sorted(out)
+
+
+def segment_cells_by_intersection(
+    cell_boxes: np.ndarray,
+    row_boxes: np.ndarray,
+    col_boxes: np.ndarray,
+    table_box: np.ndarray,
+    segment_rule: str = "iou",
+    threshold_rows: float = 0.001,
+    threshold_cols: float = 0.001,
+    tile: bool = False,
+    stretch_rule: str = "left",
+    remove_iou_threshold: float = 0.001,
+) -> dict:
+    """The classic ``TableSegmentationService`` cell assignment
+    (``pipe/segment.py:475-585`` + ``:1040-1053`` serve order), exactly:
+
+    1. rows/columns stretch to one pixel inside the table
+       (``stretch_item_per_table``), overlapping items above the iou
+       threshold are removed, optional tiling;
+    2. items are numbered 1..n by box-center order;
+    3. every cell matches rows/columns by STRICT ``> threshold`` iou — or
+       intersection-count-WEIGHTED ioa (``match.py:152-162``);
+    4. per cell: ``row_number`` = MIN matched row number (0 when nothing
+       matches), ``rs`` = COUNT of matched rows (not max-min+1 — the classic
+       service counts intersections, ``segment.py:552-558``), columns
+       analogously.
+
+    Returns ``{"row_num", "col_num", "rs", "cs"}`` int arrays aligned with
+    ``cell_boxes``.
+    """
+    from .boxes import ioa_matrix, iou_matrix
+    from .pubtables import (
+        AXIS_COL,
+        AXIS_ROW,
+        enumerate_items,
+        remove_overlapping_items,
+        stretch_items,
+        tile_items,
+    )
+
+    rows, cols = stretch_items(row_boxes, col_boxes, table_box)
+    if rows.size:
+        rows = rows[remove_overlapping_items(rows, remove_iou_threshold)]
+    if cols.size:
+        cols = cols[remove_overlapping_items(cols, remove_iou_threshold)]
+    if tile:
+        rows = tile_items(rows, AXIS_ROW, table_box[1], table_box[3], stretch_rule)
+        cols = tile_items(cols, AXIS_COL, table_box[0], table_box[2], stretch_rule)
+    row_nums = enumerate_items(rows, AXIS_ROW)
+    col_nums = enumerate_items(cols, AXIS_COL)
+
+    n = cell_boxes.shape[0]
+    out = {k: np.zeros(n, dtype=np.int64) for k in ("row_num", "col_num", "rs", "cs")}
+
+    def assign(items: np.ndarray, numbers: np.ndarray, num_key: str, span_key: str) -> None:
+        if items.shape[0] == 0 or n == 0:
+            return
+        if segment_rule == "iou":
+            mat = iou_matrix(cell_boxes, items)  # [cell, item]
+            matches = mat > threshold_rows if num_key == "row_num" else mat > threshold_cols
+        else:  # weighted ioa, match.py:152-162
+            mat = ioa_matrix(items, cell_boxes).T  # [cell, item] = inter/area(cell)
+            weighted = mat * (mat != 0).sum(1, keepdims=True)
+            thr = threshold_rows if num_key == "row_num" else threshold_cols
+            matches = weighted > thr
+        for i in range(n):
+            hit = numbers[matches[i]]
+            out[span_key][i] = hit.size
+            out[num_key][i] = hit.min() if hit.size else 0
+
+    assign(rows, row_nums, "row_num", "rs")
+    assign(cols, col_nums, "col_num", "cs")
+    return out

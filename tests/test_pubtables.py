@@ -145,3 +145,57 @@ def test_refine_absorbs_bare_hole():
     # absorbs the empty tile rather than leaving a non-rectangular cell
     cells = [(1, 1, 2, 1), (2, 1, 1, 2)]
     assert refine_cells(cells) == [(1, 1, 2, 2)]
+
+
+def test_classic_segmentation_matches_reference_fixture():
+    """The reference's TestTableSegmentationService::test_pass_datapoint
+    fixture (tests/conftest.py:56-145, table-local frame): cells 1-4 land at
+    (row, col) = (1,1), (2,1), (1,2), (2,2) with rs=cs=1; the stray cell 5
+    touches no stretched row/column and gets all zeros
+    (dp_image_fully_segmented expectations, conftest.py:239-300)."""
+    import numpy as np
+
+    from deepdoctection_ray.kernels.table_segment import segment_cells_by_intersection
+
+    table = np.array([0.0, 0.0, 100.0, 300.0])
+    cells = np.array(
+        [
+            [10.0, 100.0, 20.0, 150.0],
+            [10.0, 200.0, 20.0, 250.0],
+            [40.0, 100.0, 50.0, 150.0],
+            [40.0, 200.0, 50.0, 250.0],
+            [80.0, 260.0, 90.0, 280.0],
+        ]
+    )
+    rows = np.array([[15.0, 100.0, 60.0, 150.0], [15.0, 200.0, 70.0, 240.0]])
+    cols = np.array([[10.0, 50.0, 20.0, 250.0], [40.0, 20.0, 50.0, 240.0]])
+    res = segment_cells_by_intersection(
+        cells, rows, cols, table, segment_rule="iou",
+        threshold_rows=0.001, threshold_cols=0.001, tile=False,
+    )
+    assert res["row_num"].tolist() == [1, 2, 1, 2, 0]
+    assert res["col_num"].tolist() == [1, 1, 2, 2, 0]
+    assert res["rs"].tolist() == [1, 1, 1, 1, 0]
+    assert res["cs"].tolist() == [1, 1, 1, 1, 0]
+
+
+def test_classic_segmentation_weighted_ioa_rule():
+    """ioa branch: a cell straddling two rows (ioa 0.5 each) still matches
+    both because the intersection-count weighting doubles the score
+    (match.py:152-162 semantics) — row_num = min, rs = count."""
+    import numpy as np
+
+    from deepdoctection_ray.kernels.table_segment import segment_cells_by_intersection
+
+    table = np.array([0.0, 0.0, 100.0, 100.0])
+    rows = np.array([[5.0, 0.0, 95.0, 50.0], [5.0, 50.0, 95.0, 100.0]])
+    cols = np.array([[10.0, 5.0, 90.0, 95.0]])
+    cells = np.array([[20.0, 25.0, 40.0, 75.0]])  # half in row 1, half in row 2
+    res = segment_cells_by_intersection(
+        cells, rows, cols, table, segment_rule="ioa",
+        threshold_rows=0.9, threshold_cols=0.9, tile=False,
+    )
+    # raw ioa per row = 0.5 < 0.9, weighted = 0.5 * 2 = 1.0 > 0.9 → both match
+    assert res["row_num"].tolist() == [1]
+    assert res["rs"].tolist() == [2]
+    assert res["col_num"].tolist() == [1] and res["cs"].tolist() == [1]
