@@ -74,9 +74,12 @@ def tile_items(
 ) -> np.ndarray:
     """Shift item edges so the items fully tile the table along ``axis``.
 
-    'left': the next item's low edge moves to the current item's high edge;
-    'equal': both meet at the midpoint of the gap. First/last edges snap to
-    the table bounds. (tile_tables_with_items_per_table semantics.)
+    'left': the next item's low edge moves to the current item's high edge
+    (``_tile_by_stretching_rows_leftwise_column_downwise``); 'equal': both
+    meet at the midpoint of the gap
+    (``_tile_by_stretching_rows_left_and_rightwise``). First/last edges land
+    ONE PIXEL inside the table bounds — the same inset convention as
+    :func:`stretch_items` (``pipe/segment.py:241-248``, ``:273-278``).
     """
     if boxes.shape[0] == 0:
         return boxes
@@ -84,8 +87,8 @@ def tile_items(
     centers = (boxes[:, lo_i] + boxes[:, hi_i]) / 2.0
     order = np.argsort(centers, kind="stable")
     out = boxes.copy()
-    out[order[0], lo_i] = table_lo
-    out[order[-1], hi_i] = table_hi
+    out[order[0], lo_i] = table_lo + 1.0
+    out[order[-1], hi_i] = table_hi - 1.0
     for k in range(len(order) - 1):
         cur, nxt = order[k], order[k + 1]
         if stretch_rule == "left":

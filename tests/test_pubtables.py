@@ -47,7 +47,7 @@ def test_stretch_matches_reference_fixture_expectations():
 def test_tile_items_left_rule_closes_gaps():
     rows, _ = stretch_items(ROWS, COLS, TABLE)
     tiled = tile_items(rows, 1, 0.0, 100.0, "left")
-    assert tiled[0, 1] == 0.0 and tiled[1, 3] == 100.0
+    assert tiled[0, 1] == 1.0 and tiled[1, 3] == 99.0  # one-pixel table inset
     assert tiled[1, 1] == tiled[0, 3]  # next.lo == cur.hi
 
 
