@@ -249,3 +249,75 @@ def segment_cells_by_intersection(
     assign(rows, row_nums, "row_num", "rs")
     assign(cols, col_nums, "col_num", "cs")
     return out
+
+
+def rectangle_cell_groups(
+    tile_to_cells: list[tuple[tuple[int, int], str]],
+) -> list[set[str]]:
+    """Cell-id level rectangle refinement — the exact contract of the
+    reference helpers ``connected_component_tiles`` +
+    ``generate_rectangle_tiling`` + ``rectangle_cells``
+    (``pipe/refine.py:51-232``, networkx replaced by union-find): cells
+    sharing a tile join one component; components grow until the cells above
+    them form a rectangular scheme; returns the list of cell-id sets to merge.
+    """
+    if not tile_to_cells:
+        return []
+    cell_ids = sorted({cid for _, cid in tile_to_cells})
+    index = {cid: i for i, cid in enumerate(cell_ids)}
+    parent = list(range(len(cell_ids)))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    tile_owners: dict[tuple[int, int], list[int]] = {}
+    for tile, cid in tile_to_cells:
+        tile_owners.setdefault(tile, []).append(index[cid])
+    for occupants in tile_owners.values():
+        for other in occupants[1:]:
+            union(occupants[0], other)
+
+    comp_tiles: dict[int, set[tuple[int, int]]] = {}
+    comp_cells: dict[int, set[str]] = {}
+    for tile, occupants in tile_owners.items():
+        for occ in occupants:
+            root = find(occ)
+            comp_tiles.setdefault(root, set()).add(tile)
+            comp_cells.setdefault(root, set()).add(cell_ids[occ])
+    tiles_list = list(comp_tiles.values())
+    cells_list = [comp_cells[k] for k in comp_tiles]
+
+    changed = True
+    while changed:
+        changed = False
+        for i, tiles in enumerate(tiles_list):
+            rows = [t[0] for t in tiles]
+            cols = [t[1] for t in tiles]
+            rect = {
+                (r, c)
+                for r in range(min(rows), max(rows) + 1)
+                for c in range(min(cols), max(cols) + 1)
+            }
+            missing = rect - tiles
+            if not missing:
+                continue
+            hole = next(iter(sorted(missing)))
+            other = next((j for j, t in enumerate(tiles_list) if j != i and hole in t), None)
+            if other is not None:
+                tiles_list[i] = tiles | tiles_list[other]
+                cells_list[i] = cells_list[i] | cells_list[other]
+                del tiles_list[other]
+                del cells_list[other]
+            else:
+                tiles_list[i] = tiles | {hole}
+            changed = True
+            break
+    return cells_list

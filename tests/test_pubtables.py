@@ -5,6 +5,7 @@ test_refine.py: stretch/tile/intersection/spanning/html)."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from deepdoctection_ray.kernels.pubtables import (
     assign_spanning_cells,
@@ -199,3 +200,56 @@ def test_classic_segmentation_weighted_ioa_rule():
     assert res["row_num"].tolist() == [1]
     assert res["rs"].tolist() == [2]
     assert res["col_num"].tolist() == [1] and res["cs"].tolist() == [1]
+
+
+@pytest.mark.parametrize(
+    "tiles,expected",
+    [
+        (  # reference test_refine.py case 1: clean tiling, nothing merges
+            [((1, 1), "a"), ((1, 2), "b"), ((1, 3), "b"), ((2, 1), "c"), ((2, 2), "d"),
+             ((2, 3), "e"), ((3, 1), "f"), ((3, 2), "f"), ((3, 3), "f")],
+            [{"d"}, {"e"}, {"f"}, {"b"}, {"a"}, {"c"}],
+        ),
+        (  # case 2: row-2 cells shadowed by a full-row cell merge together
+            [((1, 1), "a"), ((1, 2), "b"), ((1, 3), "b"), ((2, 1), "c"), ((2, 2), "d"),
+             ((2, 3), "e"), ((2, 1), "f"), ((2, 2), "f"), ((2, 3), "f")],
+            [{"a"}, {"f", "c", "d", "e"}, {"b"}],
+        ),
+        (  # case 3: chained double allocations collapse the whole table
+            [((1, 1), "a"), ((1, 2), "b"), ((1, 2), "c"), ((2, 1), "d"), ((2, 2), "e"),
+             ((2, 2), "c"), ((2, 1), "f"), ((2, 2), "f"), ((2, 2), "f")],
+            [{"a", "c", "d", "e", "b", "f"}],
+        ),
+    ],
+)
+def test_rectangle_cell_groups_reference_cases(tiles, expected):
+    """The reference's test_rectangle_cell_tiling parametrizations verbatim
+    (tests/pipe/test_refine.py:48-94)."""
+    from deepdoctection_ray.kernels.table_segment import rectangle_cell_groups
+
+    got = rectangle_cell_groups(tiles)
+    for el in expected:
+        assert el in got, (el, got)
+    for el in got:
+        assert el in expected, (el, expected)
+
+
+def test_html_matches_reference_generate_html_string():
+    """The reference's test_generate_html_string fixture
+    (tests/pipe/test_refine.py:216-260) rendered through html_with_spans."""
+    cells = [
+        (1, 1, 1, 1), (1, 2, 1, 2),
+        (2, 1, 2, 1), (2, 2, 1, 1), (2, 3, 1, 1),
+        (3, 2, 1, 1), (3, 3, 1, 1),
+        (4, 1, 1, 1), (4, 2, 1, 2),
+    ]
+    texts = ["a", "b", "c", "d", "e", "f", "g", "h", "i"]
+    html = html_with_spans(cells, 4, 3, texts=texts)
+    assert html == (
+        "<table>"
+        "<tr><td>a</td><td colspan=2>b</td></tr>"
+        "<tr><td rowspan=2>c</td><td>d</td><td>e</td></tr>"
+        "<tr><td>f</td><td>g</td></tr>"
+        "<tr><td>h</td><td colspan=2>i</td></tr>"
+        "</table>"
+    )
