@@ -59,15 +59,20 @@ def grouped_int_sums(
     int_columns: Sequence[str],
     count_alias: str | None = "n",
     as_float: bool = True,
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """EXACT grouped sums for integer-scaled money columns.
 
     Float partial sums accumulate error that can flip a rounded digit at large
     scale factors; instead the caller pre-scales money to int64 units (cents /
     micro-units), per-batch ``pyarrow`` int sums are exact, and the final
-    combine runs in Python arbitrary-precision ints — immune to both float
-    error and int64 overflow at any corpus size. Matches a DuckDB oracle that
-    sums ``BIGINT`` (HUGEINT accumulator) bit-for-bit.
+    combine is a BUCKETED vectorized int64 hash-aggregation (one Python call
+    per hash bucket, not per key — safe for the per-suppkey / per-custkey
+    intermediates with millions of keys) with a conservative per-group
+    overflow bound; a bucket that could overflow int64 recomputes in Python
+    arbitrary-precision ints, so the result is exact at any corpus size.
+    Matches a DuckDB oracle that sums ``BIGINT`` (HUGEINT accumulator)
+    bit-for-bit.
 
     Output: ``keys + [f"sum_{c}" (float64 = exact int, converted once)] +
     [count_alias]``; callers divide by the scale to get money doubles — the
@@ -90,19 +95,72 @@ def grouped_int_sums(
         names = keys + [f"sum_{c}" for c in int_columns] + ([count_alias] if count_alias else [])
         return pa.table({n: cols[n] for n in names})
 
-    def combine(g: pa.Table) -> pa.Table:
-        out = {k: [g[k][0].as_py()] for k in keys}
-        for c in int_columns:
-            total = sum(g[f"sum_{c}"].to_pylist())
-            out[f"sum_{c}"] = (
-                pa.array([float(total)], pa.float64())
-                if as_float
-                else pa.array([total], pa.int64())
-            )
-        if count_alias:
-            out[count_alias] = pa.array([sum(g[count_alias].to_pylist())], pa.int64())
-        return pa.table(out)
+    def combine_bucket(g: pa.Table) -> pa.Table:
+        # Vectorized C hash-aggregation over the whole bucket (one Python call
+        # per BUCKET, not per key — high-cardinality keys stay cheap), guarded
+        # for exactness: Arrow int64 sums wrap silently on overflow, so each
+        # group's conservative bound max|partial| * n_partials is checked and
+        # any bucket that could overflow falls back to Python big-int sums.
+        import pyarrow.compute as pc
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(keys).map_groups(
-        combine, batch_format="pyarrow"
+        try:
+            data = g
+            aggs = [(f"sum_{c}", "sum") for c in int_columns]
+            for c in int_columns:
+                data = data.append_column(f"__abs_{c}", pc.abs_checked(g[f"sum_{c}"]))
+                aggs.append((f"__abs_{c}", "max"))
+            if count_alias:
+                aggs.append((count_alias, "sum"))
+            aggs.append(([], "count_all"))
+            t = data.group_by(keys).aggregate(aggs)
+            n = pc.cast(t["count_all"], pa.float64())
+            for c in int_columns:
+                bound = pc.max(
+                    pc.multiply(pc.cast(t[f"__abs_{c}_max"], pa.float64()), n)
+                ).as_py()
+                if bound is not None and bound >= float(2**62):
+                    raise OverflowError(f"sum_{c} may overflow int64 in this bucket")
+        except (OverflowError, pa.ArrowInvalid):
+            return _combine_bucket_bigint(g, keys, int_columns, count_alias, as_float)
+        cols = {k: t[k] for k in keys}
+        for c in int_columns:
+            s = t[f"sum_{c}_sum"]
+            cols[f"sum_{c}"] = pc.cast(s, pa.float64()) if as_float else pc.cast(s, pa.int64())
+        if count_alias:
+            cols[count_alias] = pc.cast(t[f"{count_alias}_sum"], pa.int64())
+        return pa.table(cols)
+
+    from .bucketed import bucketed_map_groups
+
+    return bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys,
+        combine_bucket,
+        num_buckets=num_buckets,
+        batch_format="pyarrow",
     )
+
+
+def _combine_bucket_bigint(
+    g: pa.Table, keys, int_columns, count_alias, as_float
+) -> pa.Table:
+    """Exact overflow-proof fallback: Python arbitrary-precision sums for one
+    bucket (rare — only taken when the conservative int64 bound trips)."""
+    df = g.to_pandas()
+    for c in int_columns:
+        df[f"sum_{c}"] = df[f"sum_{c}"].astype(object)
+    spec = {f"sum_{c}": "sum" for c in int_columns}
+    if count_alias:
+        spec[count_alias] = "sum"
+    res = df.groupby(list(keys), sort=False, as_index=False).agg(spec)
+    cols = {k: pa.array(res[k], type=g.schema.field(k).type) for k in keys}
+    for c in int_columns:
+        vals = res[f"sum_{c}"]
+        cols[f"sum_{c}"] = (
+            pa.array([float(v) for v in vals], pa.float64())
+            if as_float
+            else pa.array([int(v) for v in vals], pa.int64())
+        )
+    if count_alias:
+        cols[count_alias] = pa.array([int(v) for v in res[count_alias]], pa.int64())
+    return pa.table(cols)

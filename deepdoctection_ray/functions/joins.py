@@ -161,17 +161,21 @@ def asof_join(
     ts_column: str,
     right_value_columns: list[str],
     suffix: str = "_right",
+    num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Backward as-of join: for each left row, the latest right row of the
     same key with ``right.ts <= left.ts``.
 
-    The two sides are co-partitioned by one ``groupby(key)`` (a ``side``
-    column keeps them apart inside the group) and matched with
-    ``pandas.merge_asof`` per key — the guide's bucketed merge_asof shape.
-    Rows with no earlier right match keep nulls (left join semantics).
+    The two sides co-partition by ``hash(key) % num_buckets`` (a ``side``
+    column keeps them apart inside the bucket) and each bucket runs ONE
+    ``pandas.merge_asof(..., by=key)`` — the whole-bucket merge the key-typed
+    ``by`` argument exists for. One Python call per bucket instead of one per
+    key (ruinous at millions of keys). Rows with no earlier right match keep
+    nulls (left join semantics).
     """
-    import numpy as np
     import pandas as pd
+
+    from .bucketed import bucketed_map_groups
 
     left_cols = left.schema().names
     l = left.add_column("__side", lambda df: pd.Series(["l"] * len(df)), batch_format="pandas")
@@ -181,7 +185,7 @@ def asof_join(
     )
     both = l.union(r)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == "l"].drop(columns=["__side"]).sort_values(ts_column, kind="stable")
         rg = g[g["__side"] == "r"][keep].sort_values(ts_column, kind="stable")
         if lg.empty:
@@ -198,7 +202,9 @@ def asof_join(
         )
         return merged
 
-    return both.groupby(key_column).map_groups(per_key, batch_format="pandas")
+    return bucketed_map_groups(
+        both, [key_column], per_bucket, num_buckets, batch_format="pandas"
+    )
 
 
 def semi_join(ds: ray.data.Dataset, keys, key_column: str, anti: bool = False) -> ray.data.Dataset:

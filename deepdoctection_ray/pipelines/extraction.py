@@ -65,32 +65,52 @@ def assemble_conversations(
     extracted: ray.data.Dataset,
     separator: str = "\n\n",
     with_roles: bool = True,
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Extraction output → one row per conversation.
 
     The cross-record analog of ``Page.text``: turns sort by ``turn_idx``
-    inside their conversation (groupby conv_id — order restored by key, never
-    by stream position) and join into one document, optionally with
-    ``[role]`` prefixes. Result: ``(conv_id, n_turns, conversation_text)``.
-    """
+    inside their conversation (order restored by key, never by stream
+    position) and join into one document, optionally with ``[role]``
+    prefixes. Result: ``(conv_id, n_turns, conversation_text)``.
 
-    def per_conv(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("turn_idx", "ascending")])
-        texts = g["extracted_text"].to_pylist()
+    Conversations co-partition by ``hash(conv_id) % num_buckets`` and each
+    bucket is assembled in ONE call (vectorized sort + pandas str-join per
+    group) — no per-conversation Python task, which at 10^9 conversations
+    would dominate the job. Only the columns the assembly needs cross the
+    exchange.
+    """
+    from ..functions.bucketed import bucketed_map_groups
+
+    cols = ["conv_id", "turn_idx", "extracted_text"] + (["role"] if with_roles else [])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = g.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        texts = t["extracted_text"].to_pylist()
         if with_roles:
-            roles = g["role"].to_pylist()
-            parts = [f"[{r}] {t}" if t else f"[{r}]" for r, t in zip(roles, texts)]
+            roles = t["role"].to_pylist()
+            parts = [f"[{r}] {x}" if x else f"[{r}]" for r, x in zip(roles, texts)]
         else:
-            parts = [t or "" for t in texts]
+            parts = [x or "" for x in texts]
+        df = pd.DataFrame({"conv_id": t["conv_id"].to_pylist(), "part": parts})
+        res = (
+            df.groupby("conv_id", sort=False)
+            .agg(n_turns=("part", "size"), conversation_text=("part", separator.join))
+            .reset_index()
+        )
         return pa.table(
             {
-                "conv_id": g["conv_id"].slice(0, 1),
-                "n_turns": pa.array([g.num_rows], pa.int64()),
-                "conversation_text": pa.array([separator.join(parts)], pa.string()),
+                "conv_id": pa.array(res["conv_id"], g.schema.field("conv_id").type),
+                "n_turns": pa.array(res["n_turns"].to_numpy(), pa.int64()),
+                "conversation_text": pa.array(res["conversation_text"], pa.string()),
             }
         )
 
-    return extracted.groupby("conv_id").map_groups(per_conv, batch_format="pyarrow")
+    return bucketed_map_groups(
+        extracted.select_columns(cols), ["conv_id"], per_bucket, num_buckets
+    )
 
 
 class _ExtractAndWritePartitions:

@@ -349,21 +349,36 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
-def q_events_sessionize(sf_dir: str, gap_seconds: int = 1800) -> ray.data.Dataset:
+def q_events_sessionize(
+    sf_dir: str, gap_seconds: int = 1800, num_buckets: int = 32
+) -> ray.data.Dataset:
     """Session windows per user (gap > 30 min starts a new session) —
-    the ordered-log groupby shape; the per-group sort is the windowing's
-    partitioning assumption (key = user_id)."""
+    the ordered-log groupby shape, BUCKETED: users co-partition by
+    ``hash(user_id) % num_buckets`` and each bucket sessionizes in ONE
+    vectorized pass (sort by (user, ts), masked diff, segment count) — no
+    per-user Python call, which at millions of users would dominate."""
+    from .functions.bucketed import bucketed_map_groups
+
     ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
         gaps = g["ts"].diff().dt.total_seconds()
-        n_sessions = int((gaps > gap_seconds).sum()) + 1
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions], "n_events": [len(g)]}
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        brk = (gaps > gap_seconds) & same_user
+        res = (
+            pd.DataFrame({"user_id": g["user_id"], "brk": brk})
+            .groupby("user_id", sort=False)
+            .agg(n_sessions=("brk", "sum"), n_events=("brk", "size"))
+            .reset_index()
         )
+        res["n_sessions"] = res["n_sessions"].astype("int64") + 1
+        res["n_events"] = res["n_events"].astype("int64")
+        return res[["user_id", "n_sessions", "n_events"]]
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return bucketed_map_groups(
+        ev, ["user_id"], sessions_bucket, num_buckets, batch_format="pandas"
+    )
 
 
 Q_SESSIONIZE_SQL = """
@@ -1181,7 +1196,7 @@ def q_deskew(sf_dir: str) -> ray.data.Dataset:
 Q_DESKEW_SQL = """
 -- construction truth: pages were rotated by true_angle; the estimator must
 -- report the deskew angle = -true_angle on the same 0.5-degree lattice
-SELECT doc_id, -true_angle AS skew_deg
+SELECT doc_id, 0.0 - true_angle AS skew_deg
 FROM read_parquet('/tmp/ddray_fixtures/deskew_docs.parquet')
 """
 

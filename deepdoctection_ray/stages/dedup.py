@@ -42,29 +42,38 @@ def add_content_hash(batch: pa.Table, text_column: str = "text", out: str = "ded
 
 
 def dedup_exact(
-    ds: ray.data.Dataset, text_column: str = "text", id_column: str = "doc_id"
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """First-wins exact dedup: smallest id per identical text survives.
 
     Returns columns ``(dedup_key, {id_column}, n_dups)`` — deterministic and
-    SQL-oracle-friendly (``GROUP BY text``).
+    SQL-oracle-friendly (``GROUP BY text``). On a mostly-unique corpus (the
+    common case) almost every hash is its own group, so the combine is
+    BUCKETED: rows co-partition by ``hash(dedup_key) % num_buckets`` and each
+    bucket runs ONE vectorized ``pyarrow.Table.group_by`` (C hash
+    aggregation) — no per-distinct-text Python call, no per-key Ray task.
     """
+    from ..functions.bucketed import bucketed_map_groups
+
     hashed = ds.map_batches(
         lambda b: add_content_hash(b, text_column).select(["dedup_key", id_column]),
         batch_format="pyarrow",
     )
 
-    def first_wins(group: pa.Table) -> pa.Table:
-        ids = group[id_column]
+    def first_wins_bucket(g: pa.Table) -> pa.Table:
+        t = g.group_by("dedup_key").aggregate([(id_column, "min"), ([], "count_all")])
         return pa.table(
             {
-                "dedup_key": pa.array([group["dedup_key"][0].as_py()], pa.string()),
-                id_column: pa.array([pc.min(ids).as_py()], ids.type),
-                "n_dups": pa.array([group.num_rows], pa.int64()),
+                "dedup_key": t["dedup_key"],
+                id_column: t[f"{id_column}_min"],
+                "n_dups": pc.cast(t["count_all"], pa.int64()),
             }
         )
 
-    return hashed.groupby("dedup_key").map_groups(first_wins, batch_format="pyarrow")
+    return bucketed_map_groups(hashed, ["dedup_key"], first_wins_bucket, num_buckets)
 
 
 # ------------------------------------------------------------- minhash + LSH
