@@ -32,6 +32,7 @@ import ray
 import ray.data
 
 from ..kernels.ids import md5_hex, stable_int
+from ..kernels.vectors import embedding_matrix
 
 # ---------------------------------------------------------------- exact dedup
 
@@ -166,6 +167,72 @@ def jaccard(a: set, b: set) -> float:
     return inter / (len(a) + len(b) - inter)
 
 
+# ----------------------------------------------------- truncation observability
+
+_TRUNC_ACTOR_NAME = "ddray_truncation_counter"
+
+
+@ray.remote(num_cpus=0)
+class _TruncationCounter:
+    """Job-wide tally of LSH buckets that hit ``max_bucket`` — the silent
+    recall cap made loud. Zero-CPU named actor; workers report, the driver
+    reads via :func:`truncation_counts`."""
+
+    def __init__(self) -> None:
+        self._counts: dict = {}
+
+    def add(self, op: str, buckets: int, dropped_rows: int) -> None:
+        c = self._counts.setdefault(op, {"buckets": 0, "dropped_rows": 0})
+        c["buckets"] += buckets
+        c["dropped_rows"] += dropped_rows
+
+    def get(self) -> dict:
+        return {k: dict(v) for k, v in self._counts.items()}
+
+    def reset(self) -> None:
+        self._counts = {}
+
+
+def _report_truncation(op: str, buckets: int, dropped_rows: int) -> None:
+    """Called from inside a bucket UDF when ``max_bucket`` dropped candidates.
+    Logs a warning and increments the job-wide counter (synchronously, so a
+    driver reading right after the dataset resolves sees the final tally) —
+    truncation is rare, so the per-bucket round-trip is off the hot path."""
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s: max_bucket cap truncated %d collision bucket(s), dropping %d "
+        "candidate row(s) — recall is capped; raise max_bucket to recover",
+        op, buckets, dropped_rows,
+    )
+    try:
+        # detached: the counter must outlive the map worker that first
+        # creates it (non-detached named actors fate-share with their owner)
+        actor = _TruncationCounter.options(
+            name=_TRUNC_ACTOR_NAME, get_if_exists=True, lifetime="detached"
+        ).remote()
+        ray.get(actor.add.remote(op, buckets, dropped_rows))
+    except Exception:
+        pass  # observability must never fail the pipeline
+
+
+def truncation_counts() -> dict:
+    """Per-op ``{"buckets": n, "dropped_rows": m}`` for every dedup op whose
+    ``max_bucket`` cap dropped candidate pairs this session ({} if none)."""
+    try:
+        actor = ray.get_actor(_TRUNC_ACTOR_NAME)
+    except ValueError:
+        return {}
+    return ray.get(actor.get.remote())
+
+
+def reset_truncation_counts() -> None:
+    try:
+        ray.get(ray.get_actor(_TRUNC_ACTOR_NAME).reset.remote())
+    except ValueError:
+        pass
+
+
 def _grouped_collisions(
     ds: ray.data.Dataset,
     group_cols: list[str],
@@ -280,13 +347,19 @@ def dedup_minhash(
         sizes = g.groupby(["band", "band_key"])[id_column].transform("size")
         coll = g[sizes > 1]
         a_out, b_out = [], []
+        trunc_buckets = trunc_rows = 0
         for _, sub in coll.groupby(["band", "band_key"], sort=False):
             ids = sorted(sub[id_column])[:max_bucket]
+            if len(sub) > max_bucket:
+                trunc_buckets += 1
+                trunc_rows += len(sub) - max_bucket
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     if ids[i] != ids[j]:
                         a_out.append(ids[i])
                         b_out.append(ids[j])
+        if trunc_buckets:
+            _report_truncation("minhash", trunc_buckets, trunc_rows)
         dtype = g[id_column].dtype
         return pd.DataFrame(
             {"id_a": pd.Series(a_out, dtype=dtype), "id_b": pd.Series(b_out, dtype=dtype)}
@@ -458,7 +531,11 @@ def dedup_simhash(
         sizes = g.groupby(["band", "band_key"])[id_column].transform("size")
         coll = g[sizes > 1]
         a_o, b_o, d_o = [], [], []
+        trunc_buckets = trunc_rows = 0
         for _, sub in coll.groupby(["band", "band_key"], sort=False):
+            if len(sub) > max_bucket:
+                trunc_buckets += 1
+                trunc_rows += len(sub) - max_bucket
             rows = sorted(zip(sub[id_column], sub["simhash"]))[:max_bucket]
             for i in range(len(rows)):
                 for j in range(i + 1, len(rows)):
@@ -469,6 +546,8 @@ def dedup_simhash(
                         a_o.append(rows[i][0])
                         b_o.append(rows[j][0])
                         d_o.append(dist)
+        if trunc_buckets:
+            _report_truncation("simhash", trunc_buckets, trunc_rows)
         dtype = g[id_column].dtype
         return pd.DataFrame(
             {
@@ -507,7 +586,7 @@ def dedup_embedding_cosine(
     """
 
     def to_buckets(batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch[embedding_column].to_pylist(), dtype=np.float64)
+        emb = embedding_matrix(batch[embedding_column])
         dim = emb.shape[1]
         h = np.random.RandomState(seed).standard_normal((dim, bands * planes))
         signs = (emb @ h) > 0  # [n, bands*planes]
@@ -535,7 +614,11 @@ def dedup_embedding_cosine(
         sizes = g.groupby(["band", "bucket"])[id_column].transform("size")
         coll = g[sizes > 1]
         a_o, b_o, c_o = [], [], []
+        trunc_buckets = trunc_rows = 0
         for _, sub in coll.groupby(["band", "bucket"], sort=False):
+            if len(sub) > max_bucket:
+                trunc_buckets += 1
+                trunc_rows += len(sub) - max_bucket
             ids = sub[id_column].tolist()[:max_bucket]
             emb = np.asarray(sub[embedding_column].tolist()[: len(ids)], dtype=np.float64)
             norms = np.linalg.norm(emb, axis=1)
@@ -553,6 +636,8 @@ def dedup_embedding_cosine(
                         a_o.append(ids[i])
                         b_o.append(ids[j])
                         c_o.append(round(c, 6))
+        if trunc_buckets:
+            _report_truncation("embedding_cosine", trunc_buckets, trunc_rows)
         dtype = g[id_column].dtype
         return pd.DataFrame(
             {

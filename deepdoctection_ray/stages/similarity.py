@@ -23,6 +23,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..kernels.vectors import embedding_matrix
+
 
 def _unit(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1)
@@ -55,7 +57,7 @@ class _BatchTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self._id].to_pylist()
-        emb = _unit(np.asarray(batch[self._emb].to_pylist(), dtype=np.float64))
+        emb = _unit(embedding_matrix(batch[self._emb]))
         cos = emb @ self._qmat  # [N, Q]
         out_q, out_i, out_c = [], [], []
         for qi, qid in enumerate(self._qids):
@@ -169,7 +171,7 @@ def knn_lsh(
     )
 
     def bucket_filter(batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch[embedding_column].to_pylist(), dtype=np.float64)
+        emb = embedding_matrix(batch[embedding_column])
         signs = ((emb @ h) > 0).astype(np.uint32)
         keys = (signs << np.arange(planes, dtype=np.uint32)).sum(1).astype(np.int64)
         mask = np.isin(keys, probe_list)
@@ -256,7 +258,7 @@ def train_ivf_centroids(
         cent_t = cent.T.copy()
 
         def partials(batch: pa.Table) -> pa.Table:
-            emb = _unit(np.asarray(batch[embedding_column].to_pylist(), dtype=np.float64))
+            emb = _unit(embedding_matrix(batch[embedding_column]))
             assign = np.argmax(emb @ cent_t, axis=1)
             sums = np.zeros((n_centroids, emb.shape[1]))
             np.add.at(sums, assign, emb)
@@ -311,7 +313,7 @@ def knn_ivf(
     cent_t = cent.T.copy()
 
     def cell_filter(batch: pa.Table) -> pa.Table:
-        emb = _unit(np.asarray(batch[embedding_column].to_pylist(), dtype=np.float64))
+        emb = _unit(embedding_matrix(batch[embedding_column]))
         assign = np.argmax(emb @ cent_t, axis=1)
         return batch.filter(pa.array(np.isin(assign, probe_arr)))
 

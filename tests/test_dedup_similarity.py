@@ -125,3 +125,27 @@ def test_knn_ivf_recall(ray_session, clustered_embeddings):
         e = set(exact[exact["query_id"] == qid]["vec_id"])
         a = set(approx[approx["query_id"] == qid]["vec_id"])
         assert len(e & a) / len(e) >= 0.8, (qid, e, a)
+
+
+def test_truncation_cap_is_reported(ray_session):
+    """An over-cap LSH bucket must not drop pairs silently: the job-wide
+    truncation counter records the bucket and the dropped candidate rows."""
+    import ray.data
+    from deepdoctection_ray.stages.dedup import (
+        dedup_minhash, reset_truncation_counts, truncation_counts,
+    )
+
+    reset_truncation_counts()
+    text = "identical text shared by every planted document in this bucket"
+    rows = [{"doc_id": i, "text": text} for i in range(12)]
+    pairs = dedup_minhash(
+        ray.data.from_items(rows), threshold=0.5, max_bucket=4
+    ).to_pandas()
+    counts = truncation_counts()
+    assert "minhash" in counts, counts
+    assert counts["minhash"]["buckets"] >= 1
+    assert counts["minhash"]["dropped_rows"] >= 1
+    # the surviving (un-truncated) candidates still verify
+    assert len(pairs) >= 1
+    reset_truncation_counts()
+    assert truncation_counts().get("minhash") is None

@@ -168,3 +168,42 @@ def test_approx_distinct_grouped(ray_session):
     assert abs(out["b"] - 50) / 50 < 0.1
     total = approx_distinct(ds, "v").take_all()
     assert abs(total[0]["approx_distinct"] - 550) / 550 < 0.1
+
+
+def test_grouped_int_sums_overflow_falls_back_to_bigint(ray_session):
+    """The bucketed combine's int64 bound must trip and recompute exactly in
+    Python big ints: four partials of 2^61 sum to 2^63 (> int64 max)."""
+    import pyarrow as pa
+    import ray.data
+    from deepdoctection_ray.functions.aggregates import grouped_int_sums
+
+    blocks = [pa.table({"k": ["a"], "x": pa.array([2**61], pa.int64())}) for _ in range(4)]
+    out = grouped_int_sums(ray.data.from_arrow(blocks), ["k"], ["x"]).to_pandas()
+    assert out["sum_x"].iloc[0] == float(2**63)
+    assert out["n"].iloc[0] == 4
+
+
+def test_grouped_int_sums_high_cardinality_exact(ray_session):
+    """Many distinct keys (the per-custkey shape): bucketed combine must stay
+    exact and emit one row per key."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from deepdoctection_ray.functions.aggregates import grouped_int_sums
+
+    rng = np.random.RandomState(5)
+    keys = rng.randint(0, 5000, size=20000)
+    vals = rng.randint(-1000, 1000, size=20000)
+    t = pa.table({"k": pa.array(keys, pa.int64()), "x": pa.array(vals, pa.int64())})
+    out = grouped_int_sums(ray.data.from_arrow(t), ["k"], ["x"]).to_pandas()
+    import pandas as pd
+
+    expect = (
+        pd.DataFrame({"k": keys, "x": vals}).groupby("k", as_index=False)
+        .agg(sum_x=("x", "sum"), n=("x", "size"))
+    )
+    merged = out.sort_values("k").reset_index(drop=True)
+    expect = expect.sort_values("k").reset_index(drop=True)
+    assert len(merged) == len(expect)
+    assert (merged["sum_x"].to_numpy() == expect["sum_x"].to_numpy()).all()
+    assert (merged["n"].to_numpy() == expect["n"].to_numpy()).all()
