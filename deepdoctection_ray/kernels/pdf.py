@@ -18,9 +18,19 @@ environment; the PDF 1.4+ container format is a public spec):
   the per-page split (``SerializerPdfDoc.load`` contract,
   ``custom_serialize.py:658-717``).
 
-Limitations (documented, raise loudly): PDF-1.5 cross-reference *streams*
-and object streams are not parsed; encrypted documents are rejected. Word
-boxes use the nominal glyph advance 0.5*size per char (Helvetica-average) —
+PDF 1.5+ container features are parsed natively (public spec §7.5.7-7.5.8):
+cross-reference STREAMS (``/Type /XRef`` with ``/W`` field widths,
+``/Index`` subsections, FlateDecode + PNG row predictors 10-15), hybrid
+files (``/XRefStm`` in a classic trailer), and OBJECT streams
+(``/Type /ObjStm`` with ``/N``/``/First`` header pairs) — the layout every
+post-2005 writer emits. ``write_pdf(..., xref_stream=True)`` emits that
+modern layout (dict objects packed in one ObjStm, Flate+Up-predictor xref
+stream) so fixtures exercise both paths. Reference capability:
+``dd_core/utils/pdf_utils.py:406-545`` (via pypdfium2).
+
+Limitations (documented, raise loudly): encrypted documents are rejected
+(``pdf_utils.py:168-331`` decrypts; no crypto here). Word boxes use the
+nominal glyph advance 0.5*size per char (Helvetica-average) —
 deterministic, so the differential golden path is exact even though widths
 are approximate.
 """
@@ -180,6 +190,8 @@ class PdfReader:
             raise PdfError("not a PDF (missing %PDF header)")
         self.data = data
         self._cache: dict[tuple[int, int], object] = {}
+        self._objstm_cache: dict[int, tuple[bytes, int, list]] = {}
+        self.xref: dict = {}  # populated below; resolve() during xref parse sees {}
         self.xref, self.trailer = self._load_xref_chain()
         if "/Encrypt" in self.trailer:
             raise PdfError("encrypted PDFs are not supported")
@@ -192,43 +204,126 @@ class PdfReader:
 
     # ------------------------------------------------------------- structure
 
-    def _load_xref_chain(self) -> tuple[dict[int, int], dict]:
+    def _load_xref_chain(self) -> tuple[dict, dict]:
+        """Walk the xref chain (newest section first wins), dispatching per
+        section on classic ``xref`` tables vs PDF-1.5 xref STREAMS; classic
+        trailers' ``/XRefStm`` (hybrid files) is processed before ``/Prev``
+        per spec §7.5.8.4. Entries are ``offset:int`` (direct object) or
+        ``("objstm", stream_num, index)`` (compressed object)."""
         tail = self.data[-2048:]
         m = list(re.finditer(rb"startxref\s+(\d+)", tail))
         if not m:
             raise PdfError("startxref not found")
         offset = int(m[-1].group(1))
-        xref: dict[int, int] = {}
+        xref: dict = {}
         trailer_out: dict = {}
         seen = set()
         while offset and offset not in seen:
             seen.add(offset)
             lx = _Lexer(self.data, offset)
+            save = lx.pos
             tok = lx.read_token()
-            if tok != b"xref":
-                raise PdfError(
-                    "cross-reference streams (PDF 1.5 'xref stream') are not "
-                    "supported by this pure-Python reader"
-                )
-            while True:
-                lx.skip_ws()
-                if self.data[lx.pos : lx.pos + 7] == b"trailer":
-                    lx.pos += 7
-                    break
-                first = int(lx.read_token())
-                count = int(lx.read_token())
-                lx.skip_ws()
-                for i in range(count):
-                    entry = self.data[lx.pos : lx.pos + 20]
-                    lx.pos += 20
-                    off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
-                    if kind == b"n" and (first + i) not in xref:
-                        xref[first + i] = int(off)
-            trailer = _parse_object(lx)
+            if tok == b"xref":
+                trailer = self._parse_xref_table(lx, xref)
+                xref_stm = trailer.get("/XRefStm")
+                if xref_stm is not None:  # hybrid file: stream fills the gaps
+                    self._parse_xref_stream(int(xref_stm), xref)
+            else:
+                lx.pos = save
+                trailer = self._parse_xref_stream(offset, xref)
             if not trailer_out:
                 trailer_out = trailer
             offset = trailer.get("/Prev", 0)
         return xref, trailer_out
+
+    def _parse_xref_table(self, lx: _Lexer, xref: dict) -> dict:
+        """Classic ``xref`` table section; returns its trailer dict."""
+        while True:
+            lx.skip_ws()
+            if self.data[lx.pos : lx.pos + 7] == b"trailer":
+                lx.pos += 7
+                break
+            first = int(lx.read_token())
+            count = int(lx.read_token())
+            lx.skip_ws()
+            for i in range(count):
+                entry = self.data[lx.pos : lx.pos + 20]
+                lx.pos += 20
+                off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
+                if kind == b"n" and (first + i) not in xref:
+                    xref[first + i] = int(off)
+        return _parse_object(lx)
+
+    def _parse_xref_stream(self, offset: int, xref: dict) -> dict:
+        """PDF-1.5 cross-reference stream (``/Type /XRef``): binary rows of
+        ``/W``-wide fields over ``/Index`` subsections, usually Flate- and
+        predictor-coded. Returns the stream dict (it doubles as trailer)."""
+        lx = _Lexer(self.data, offset)
+        lx.read_token()  # object number
+        lx.read_token()  # generation
+        if lx.read_token() != b"obj":
+            raise PdfError(f"malformed xref stream object at offset {offset}")
+        meta = _parse_object(lx)
+        lx.skip_ws()
+        if self.data[lx.pos : lx.pos + 6] != b"stream":
+            raise PdfError("xref stream object has no stream body")
+        lx.pos += 6
+        raw = self._read_stream_raw(lx, meta)
+        data = _Stream(meta, raw).decoded(self)
+        w = [int(self.resolve(v)) for v in self.resolve(meta.get("/W", []))]
+        if len(w) != 3:
+            raise PdfError(f"xref stream /W must have 3 fields, got {w}")
+        size = int(self.resolve(meta.get("/Size", 0)))
+        index = [int(self.resolve(v)) for v in self.resolve(meta.get("/Index", [0, size]))]
+        row_len = sum(w)
+        pos = 0
+
+        def field(width: int) -> int:
+            nonlocal pos
+            if width == 0:
+                return -1  # absent field: type defaults to 1 (spec)
+            v = int.from_bytes(data[pos : pos + width], "big")
+            pos += width
+            return v
+
+        for first, count in zip(index[0::2], index[1::2]):
+            for i in range(count):
+                if pos + row_len > len(data):
+                    raise PdfError("truncated xref stream data")
+                t = field(w[0])
+                if t == -1:
+                    t = 1
+                f2 = field(w[1])
+                f3 = field(w[2])
+                num = first + i
+                if num in xref:
+                    continue
+                if t == 1:
+                    xref[num] = f2
+                elif t == 2:
+                    xref[num] = ("objstm", f2, f3)
+                # type 0 (free) and unknown types: skip
+        return meta
+
+    def _read_stream_raw(self, lx: _Lexer, meta: dict) -> bytes:
+        """Raw stream bytes after the ``stream`` keyword at ``lx.pos``.
+        ``/Length`` may be an indirect ref into a not-yet-built xref (legal
+        in the xref stream itself) — fall back to scanning ``endstream``."""
+        if self.data[lx.pos : lx.pos + 2] == b"\r\n":
+            lx.pos += 2
+        elif self.data[lx.pos : lx.pos + 1] == b"\n":
+            lx.pos += 1
+        length = meta.get("/Length")
+        if isinstance(length, tuple):  # indirect — resolvable only post-xref
+            try:
+                length = self.resolve(length)
+            except Exception:
+                length = None
+        if isinstance(length, (int, float)):
+            return self.data[lx.pos : lx.pos + int(length)]
+        end = self.data.index(b"endstream", lx.pos)
+        raw = self.data[lx.pos : end]
+        return raw.rstrip(b"\r\n")
 
     def resolve(self, obj):
         while isinstance(obj, tuple) and obj and obj[0] == "ref":
@@ -239,9 +334,14 @@ class PdfReader:
         key = (num, gen)
         if key in self._cache:
             return self._cache[key]
-        off = self.xref.get(num)
-        if off is None:
+        entry = self.xref.get(num)
+        if entry is None:
             return None
+        if isinstance(entry, tuple):  # ("objstm", stream_num, index)
+            value = self._objstm_object(entry[1], entry[2], num)
+            self._cache[key] = value
+            return value
+        off = entry
         lx = _Lexer(self.data, off)
         lx.read_token()  # obj number
         lx.read_token()  # generation
@@ -251,15 +351,36 @@ class PdfReader:
         lx.skip_ws()
         if self.data[lx.pos : lx.pos + 6] == b"stream":
             lx.pos += 6
-            if self.data[lx.pos : lx.pos + 2] == b"\r\n":
-                lx.pos += 2
-            elif self.data[lx.pos : lx.pos + 1] == b"\n":
-                lx.pos += 1
-            length = self.resolve(value.get("/Length"))
-            raw = self.data[lx.pos : lx.pos + int(length)]
+            raw = self._read_stream_raw(lx, value)
             value = _Stream(value, raw)
         self._cache[key] = value
         return value
+
+    def _objstm_object(self, stm_num: int, idx: int, want_num: int):
+        """Object ``idx`` out of object stream ``stm_num`` (``/Type /ObjStm``,
+        spec §7.5.7): the decoded stream starts with ``/N`` pairs of
+        ``objnum offset`` relative to ``/First``."""
+        cached = self._objstm_cache.get(stm_num)
+        if cached is None:
+            stm = self.get_object(stm_num)
+            if not isinstance(stm, _Stream):
+                raise PdfError(f"object stream {stm_num} missing or not a stream")
+            data = stm.decoded(self)
+            n = int(self.resolve(stm.meta.get("/N", 0)))
+            first = int(self.resolve(stm.meta.get("/First", 0)))
+            hdr = _Lexer(data)
+            pairs = [(int(hdr.read_token()), int(hdr.read_token())) for _ in range(n)]
+            cached = (data, first, pairs)
+            self._objstm_cache[stm_num] = cached
+        data, first, pairs = cached
+        if not 0 <= idx < len(pairs):
+            raise PdfError(f"object stream {stm_num} has no index {idx}")
+        obj_num, rel = pairs[idx]
+        if obj_num != want_num:
+            raise PdfError(
+                f"object stream {stm_num}[{idx}] holds obj {obj_num}, xref said {want_num}"
+            )
+        return _parse_object(_Lexer(data, first + rel))
 
     def _collect_pages(self, node_ref, inherited: dict) -> None:
         if not hasattr(self, "_page_inherits"):
@@ -406,13 +527,68 @@ class _Stream:
         if filt is None:
             return self.raw
         filters = filt if isinstance(filt, list) else [filt]
+        parms = reader.resolve(self.meta.get("/DecodeParms"))
+        parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
         data = self.raw
-        for f in filters:
+        for f, p in zip(filters, parms_list):
             if f == "/FlateDecode":
                 data = zlib.decompress(data)
+                p = reader.resolve(p)
+                if isinstance(p, dict) and int(reader.resolve(p.get("/Predictor", 1))) > 1:
+                    data = _undo_predictor(
+                        data,
+                        int(reader.resolve(p.get("/Predictor", 1))),
+                        int(reader.resolve(p.get("/Columns", 1))),
+                        int(reader.resolve(p.get("/Colors", 1))),
+                        int(reader.resolve(p.get("/BitsPerComponent", 8))),
+                    )
             else:
                 raise PdfError(f"unsupported stream filter {f} (only FlateDecode)")
         return data
+
+
+def _undo_predictor(data: bytes, predictor: int, columns: int, colors: int, bpc: int) -> bytes:
+    """Reverse the PNG row predictors (10-15; per-row filter tag 0-4) used by
+    Flate-coded xref streams — spec §7.4.4.4 / PNG filtering. TIFF predictor
+    2 is not emitted by mainstream writers and is rejected."""
+    if predictor == 2:
+        raise PdfError("TIFF predictor 2 is not supported")
+    if predictor < 10:
+        return data
+    bpp = max(1, (colors * bpc) // 8)
+    row_len = columns * bpp
+    out = bytearray()
+    prev = bytearray(row_len)
+    i = 0
+    while i < len(data):
+        tag = data[i]
+        i += 1
+        row = bytearray(data[i : i + row_len])
+        i += len(row)
+        if tag == 1:  # Sub
+            for j in range(bpp, len(row)):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for j in range(len(row)):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif tag == 3:  # Average
+            for j in range(len(row)):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for j in range(len(row)):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        elif tag != 0:
+            raise PdfError(f"unknown PNG filter tag {tag}")
+        out += row
+        prev = row
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------- write
@@ -422,17 +598,26 @@ def _escape(text: str) -> str:
     return text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def write_pdf(pages: list[dict], compress: bool = False) -> bytes:
+def write_pdf(pages: list[dict], compress: bool = False, xref_stream: bool = False) -> bytes:
     """Minimal PDF writer for fixtures and page re-serialization.
 
     Each page dict: ``width``, ``height`` and either ``words`` (list of
     ``(text, x, baseline_y, size)`` in PDF bottom-left coordinates, one Tj
     per word) or ``raw_content`` (verbatim content-stream bytes).
+
+    ``xref_stream=True`` emits the post-2005 PDF-1.5 layout instead of the
+    classic table: all dictionary objects packed into ONE Flate-coded
+    ``/ObjStm`` and a ``/Type /XRef`` cross-reference stream (W [1 4 2],
+    Flate + PNG Up predictor) — the same container shape mainstream writers
+    produce, so reader fixtures exercise the modern path end to end.
     """
     objects: list[bytes] = []  # 1-indexed
+    stream_objs: set[int] = set()
 
-    def add(obj: bytes) -> int:
+    def add(obj: bytes, is_stream: bool = False) -> int:
         objects.append(obj)
+        if is_stream:
+            stream_objs.add(len(objects))
         return len(objects)
 
     font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
@@ -455,7 +640,7 @@ def write_pdf(pages: list[dict], compress: bool = False) -> bytes:
         else:
             body = content
             stream_dict = f"<< /Length {len(body)} >>".encode()
-        content_num = add(stream_dict + b"\nstream\n" + body + b"\nendstream")
+        content_num = add(stream_dict + b"\nstream\n" + body + b"\nendstream", is_stream=True)
         page_num = add(
             (
                 f"<< /Type /Page /Parent {kids_placeholder} 0 R "
@@ -471,6 +656,9 @@ def write_pdf(pages: list[dict], compress: bool = False) -> bytes:
     )
     catalog_num = add(f"<< /Type /Catalog /Pages {kids_placeholder} 0 R >>".encode())
 
+    if xref_stream:
+        return _emit_xref_stream_layout(objects, stream_objs, catalog_num)
+
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for i, obj in enumerate(objects, 1):
@@ -485,4 +673,78 @@ def write_pdf(pages: list[dict], compress: bool = False) -> bytes:
         f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_num} 0 R >>\n"
         f"startxref\n{xref_off}\n%%EOF\n"
     ).encode()
+    return bytes(out)
+
+
+def _png_up_encode(rows: list[bytes], row_len: int) -> bytes:
+    """Forward PNG Up filter (tag 2 per row) — what real writers apply to
+    xref stream data before Flate."""
+    out = bytearray()
+    prev = bytes(row_len)
+    for row in rows:
+        out.append(2)
+        out += bytes((row[j] - prev[j]) & 0xFF for j in range(row_len))
+        prev = row
+    return bytes(out)
+
+
+def _emit_xref_stream_layout(
+    objects: list[bytes], stream_objs: set[int], catalog_num: int
+) -> bytes:
+    """PDF-1.5 serialization: stream objects written directly, every
+    dictionary object packed into one ``/ObjStm``, one ``/Type /XRef``
+    cross-reference stream (W [1 4 2], Flate + Up predictor) as trailer."""
+    objstm_num = len(objects) + 1
+    xref_num = len(objects) + 2
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+
+    entries: dict[int, tuple[int, int, int]] = {0: (0, 0, 65535)}
+
+    # direct (stream) objects
+    for i, obj in enumerate(objects, 1):
+        if i in stream_objs:
+            entries[i] = (1, len(out), 0)
+            out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+
+    # pack the dictionary objects into one object stream
+    packed = [i for i in range(1, len(objects) + 1) if i not in stream_objs]
+    bodies: list[bytes] = []
+    offs: list[int] = []
+    pos = 0
+    for i in packed:
+        offs.append(pos)
+        body = objects[i - 1] + b"\n"
+        bodies.append(body)
+        pos += len(body)
+    header = " ".join(f"{i} {o}" for i, o in zip(packed, offs)).encode() + b"\n"
+    payload = header + b"".join(bodies)
+    zipped = zlib.compress(payload)
+    entries[objstm_num] = (1, len(out), 0)
+    out += (
+        f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(packed)} /First {len(header)} "
+        f"/Filter /FlateDecode /Length {len(zipped)} >>\nstream\n".encode()
+        + zipped
+        + b"\nendstream\nendobj\n"
+    )
+    for idx, i in enumerate(packed):
+        entries[i] = (2, objstm_num, idx)
+
+    # cross-reference stream (its own entry points at itself)
+    xref_off = len(out)
+    entries[xref_num] = (1, xref_off, 0)
+    size = xref_num + 1
+    rows = [
+        bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        for t, f2, f3 in (entries[n] for n in range(size))
+    ]
+    xdata = zlib.compress(_png_up_encode(rows, 7))
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+        f"/Root {catalog_num} 0 R /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns 7 >> "
+        f"/Length {len(xdata)} >>\nstream\n".encode()
+        + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode()
     return bytes(out)

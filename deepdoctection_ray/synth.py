@@ -298,7 +298,9 @@ def make_pdf_corpus(
     extraction is known by construction; ``truth`` rows are
     ``{file_name, page_number, text}`` with ``text`` = lines joined by
     newline, words by space. Odd documents use Flate-compressed content
-    streams so both filter paths are exercised.
+    streams so both filter paths are exercised; every third document is
+    written in the PDF-1.5 layout (object streams + predictor-coded xref
+    stream) so the modern-container read path is oracle-covered too.
     """
     from .kernels.pdf import write_pdf
 
@@ -331,7 +333,12 @@ def make_pdf_corpus(
                     "text": "\n".join(lines),
                 }
             )
-        files.append((f"doc-{i:03d}.pdf", write_pdf(pages, compress=bool(i % 2))))
+        files.append(
+            (
+                f"doc-{i:03d}.pdf",
+                write_pdf(pages, compress=bool(i % 2), xref_stream=(i % 3 == 0)),
+            )
+        )
     return files, truth
 
 

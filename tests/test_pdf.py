@@ -101,3 +101,135 @@ def test_pdf_reader_fuzz_never_crashes_unexpectedly():
 
     mutate()
 
+
+# ------------------------------------------------------ PDF 1.5 container
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_xref_stream_layout_roundtrips_identically(compress):
+    """Modern layout (ObjStm + predictor-coded xref stream) must parse to
+    the exact same words/sizes as the classic table layout."""
+    classic = PdfReader(write_pdf(PAGES, compress=compress))
+    modern_bytes = write_pdf(PAGES, compress=compress, xref_stream=True)
+    assert modern_bytes.startswith(b"%PDF-1.5")
+    assert b"/ObjStm" in modern_bytes and b"/XRef" in modern_bytes
+    modern = PdfReader(modern_bytes)
+    assert modern.num_pages == classic.num_pages
+    for i in range(classic.num_pages):
+        assert modern.page_words(i) == classic.page_words(i)
+        assert modern.page_size(i) == classic.page_size(i)
+
+
+def test_xref_stream_page_resplit():
+    modern = PdfReader(write_pdf(PAGES, xref_stream=True))
+    sub = PdfReader(modern.page_pdf_bytes(1))
+    assert sub.num_pages == 1
+    assert [w["text"] for w in sub.page_words(0)] == ["page"]
+
+
+def test_hybrid_xrefstm_trailer():
+    """Classic table whose trailer points at an /XRefStm (hybrid file,
+    spec 7.5.8.4): entries from the stream fill gaps in the table."""
+    modern = write_pdf(PAGES, xref_stream=True)
+    r = PdfReader(modern)
+    # find the xref stream offset from startxref
+    import re as _re
+
+    xref_off = int(_re.search(rb"startxref\s+(\d+)", modern[-100:]).group(1))
+    # build a hybrid: classic empty-ish table + trailer with /XRefStm
+    hybrid = modern[: len(modern) - len(b"startxref\n%d\n%%%%EOF\n" % xref_off)]
+    table_off = len(hybrid)
+    hybrid += (
+        b"xref\n0 1\n0000000000 65535 f \n"
+        b"trailer\n<< /Size %d /Root %s /XRefStm %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n"
+        % (
+            len(r.xref) + 2,
+            next(
+                v.encode() if isinstance(v, str) else b"%d %d R" % (v[1], v[2])
+                for v in [r.trailer["/Root"]]
+            ),
+            xref_off,
+            table_off,
+        )
+    )
+    hr = PdfReader(hybrid)
+    assert hr.num_pages == 2
+    assert hr.page_words(0) == r.page_words(0)
+
+
+def test_png_predictors_all_filters():
+    """PNG Sub/Up/Average/Paeth rows decode exactly (encode-then-decode)."""
+    from deepdoctection_ray.kernels.pdf import _undo_predictor
+
+    import random
+
+    rng = random.Random(9)
+    row_len, n_rows = 7, 20
+    rows = [bytes(rng.randrange(256) for _ in range(row_len)) for _ in range(n_rows)]
+
+    def enc(tag):
+        out = bytearray()
+        prev = bytes(row_len)
+        for row in rows:
+            out.append(tag)
+            if tag == 0:
+                out += row
+            elif tag == 1:
+                out += bytes(
+                    (row[j] - (row[j - 1] if j >= 1 else 0)) & 0xFF for j in range(row_len)
+                )
+            elif tag == 2:
+                out += bytes((row[j] - prev[j]) & 0xFF for j in range(row_len))
+            elif tag == 3:
+                out += bytes(
+                    (row[j] - (((row[j - 1] if j >= 1 else 0) + prev[j]) >> 1)) & 0xFF
+                    for j in range(row_len)
+                )
+            elif tag == 4:
+                enc_row = bytearray()
+                for j in range(row_len):
+                    a = row[j - 1] if j >= 1 else 0
+                    b = prev[j]
+                    c = prev[j - 1] if j >= 1 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc_row.append((row[j] - pred) & 0xFF)
+                out += enc_row
+            prev = row
+        return bytes(out)
+
+    flat = b"".join(rows)
+    for tag in (0, 1, 2, 3, 4):
+        assert _undo_predictor(enc(tag), 12, row_len, 1, 8) == flat, f"tag {tag}"
+
+
+def test_pdf15_fixture_corpus_extracts():
+    """make_pdf_corpus emits every third doc in the 1.5 layout; all of them
+    must still extract their construction-truth text."""
+    from deepdoctection_ray.synth import make_pdf_corpus
+
+    files, truth = make_pdf_corpus(6, seed=11)
+    by_file = {}
+    for t in truth:
+        by_file.setdefault(t["file_name"], []).append(t)
+    n_modern = 0
+    for name, data in files:
+        if data.startswith(b"%PDF-1.5"):
+            n_modern += 1
+        reader = PdfReader(data)
+        for t in sorted(by_file[name], key=lambda r: r["page_number"]):
+            words = reader.page_words(t["page_number"])
+            got_lines = []
+            cur, cur_bottom = [], None
+            for w in words:
+                if cur_bottom is not None and w["bottom"] != cur_bottom:
+                    got_lines.append(" ".join(cur))
+                    cur = []
+                cur.append(w["text"])
+                cur_bottom = w["bottom"]
+            if cur:
+                got_lines.append(" ".join(cur))
+            assert "\n".join(got_lines) == t["text"]
+    assert n_modern == 2  # docs 0 and 3
