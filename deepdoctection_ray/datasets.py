@@ -292,6 +292,204 @@ def funsd_like_dataset(location: str, annotation_files: dict[str, str] | None = 
     return CustomDataset(card, builder)
 
 
+DOCLAYNET_CATEGORIES = [
+    "caption", "footnote", "formula", "list", "page_footer", "page_header",
+    "figure", "section_header", "table", "text", "title",
+]
+# DocLayNet id → PubLayNet-coarse id, verbatim the reference's coarse_mapping
+# (dd_datasets/instances/doclaynet.py:185): {1:10,2:10,3:10,4:4,5:10,6:11,
+# 7:7,8:11,9:9,10:10,11:11} — names resolved through the 11-category list.
+DOCLAYNET_COARSE = {
+    "caption": "text", "footnote": "text", "formula": "text", "list": "list",
+    "page_footer": "text", "page_header": "title", "figure": "figure",
+    "section_header": "title", "table": "table", "text": "text", "title": "title",
+}
+
+
+@register_dataset("doclaynet_like")
+def doclaynet_like_dataset(
+    location: str,
+    annotation_files: dict[str, str] | None = None,
+    coarse: bool = False,
+) -> CustomDataset:
+    """DocLayNet-shape COCO (``dd_datasets/instances/doclaynet.py``): the
+    11-label layout-segmentation taxonomy; ``coarse=True`` remaps every
+    annotation through the reference's DocLayNet→PubLayNet coarse mapping
+    (its ``coarse_mapping``/``cat_to_sub_cat`` path) so models trained on
+    the 5-label PubLayNet taxonomy consume it directly."""
+    card = DatasetCard(
+        name="doclaynet_like",
+        dataset_type="object_detection",
+        location=location,
+        init_categories=list(DOCLAYNET_CATEGORIES),
+        annotation_files=annotation_files
+        or {"train": "COCO/train.json", "val": "COCO/val.json", "test": "COCO/test.json"},
+    )
+
+    def builder(card: DatasetCard, split: str) -> ray.data.Dataset:
+        base = coco_like_dataset(card.location, card.annotation_files)
+        ds = base.build(split=split)
+        if not coarse:
+            return ds
+
+        def remap(batch: pa.Table) -> pa.Table:
+            rows = batch.to_pylist()
+            for r in rows:
+                for a in r["annotations"]:
+                    a["category"] = DOCLAYNET_COARSE.get(a["category"], a["category"])
+            return _canonical_table(rows)
+
+        return ds.map_batches(remap, batch_format="pyarrow")
+
+    return CustomDataset(card, builder)
+
+
+XFUND_LANGUAGES = ["de", "es", "fr", "it", "ja", "pt", "zh"]
+_XFUND_TOKEN_CLASSES = {"other", "question", "answer", "header"}
+
+
+@register_dataset("xfund_like")
+def xfund_like_dataset(
+    location: str,
+    annotation_files: dict[str, list[str]] | None = None,
+    languages: list[str] | str | None = None,
+) -> CustomDataset:
+    """XFUND-shape multilingual forms (``dd_datasets/instances/xfund.py`` +
+    ``dd_core/mapper/xfundstruct.py``): per-language JSON files each holding
+    ``{"documents": [{id, img:{fname,width,height}, document:[entities]}]}``;
+    every entity word becomes a ``word`` annotation whose category is the
+    BIO token TAG the reference derives (first word of a labeled entity →
+    ``B-<class>``, rest → ``I-<class>``, 'other' entities → ``O``) — the
+    exact training surface of the LayoutLM token-classification path.
+    ``languages`` filters the per-language files like the reference kwarg."""
+    if isinstance(languages, str):
+        languages = [languages]
+    langs = languages or XFUND_LANGUAGES
+    bad = [l for l in langs if l not in XFUND_LANGUAGES]
+    if bad:
+        raise ValueError(f"unknown xfund languages {bad}; available: {XFUND_LANGUAGES}")
+    card = DatasetCard(
+        name="xfund_like",
+        dataset_type="token_classification",
+        location=location,
+        init_categories=["word", "text"],
+        annotation_files=annotation_files
+        or {
+            s: [f"{l}.{s}.json" for l in XFUND_LANGUAGES]
+            for s in ("train", "val")
+        },
+    )
+
+    def builder(card: DatasetCard, split: str) -> ray.data.Dataset:
+        paths = [
+            os.path.join(card.location, f)
+            for f in card.annotation_files[split]
+            if f.split(".")[0] in langs
+        ]
+        rows = []
+        for path in paths:
+            with open(path, encoding="utf-8") as fh:
+                doc = json.load(fh)
+            for dp in doc.get("documents", []):
+                img = dp.get("img") or {}
+                anns = []
+                for entity in dp.get("document") or []:
+                    label = entity.get("label", "other")
+                    if label not in _XFUND_TOKEN_CLASSES:
+                        label = "other"
+                    for wi, w in enumerate(entity.get("words") or []):
+                        x0, y0, x1, y1 = w["box"]
+                        if label == "other":
+                            tag = "O"
+                        else:
+                            tag = ("B-" if wi == 0 else "I-") + label
+                        anns.append(
+                            {
+                                "category": tag,
+                                "x0": float(x0),
+                                "top": float(y0),
+                                "x1": float(x1),
+                                "bottom": float(y1),
+                                "score": 1.0,
+                            }
+                        )
+                rows.append(
+                    {
+                        "image_id": str(dp.get("id", "")),
+                        "file_name": img.get("fname", ""),
+                        "split": split,
+                        "width": float(img.get("width", 0)),
+                        "height": float(img.get("height", 0)),
+                        "annotations": anns,
+                    }
+                )
+        return ray.data.from_arrow(_canonical_table(rows))
+
+    return CustomDataset(card, builder)
+
+
+RVLCDIP_CATEGORIES = [
+    "letter", "form", "email", "handwritten", "advertisement",
+    "scientific_report", "scientific_publication", "specification",
+    "file_folder", "news_article", "budget", "invoice", "presentation",
+    "questionnaire", "resume", "memo",
+]
+
+
+@register_dataset("rvlcdip_like")
+def rvlcdip_like_dataset(
+    location: str, annotation_files: dict[str, str] | None = None
+) -> CustomDataset:
+    """RVL-CDIP-shape label file (``dd_datasets/instances/rvlcdip.py``):
+    whitespace-separated ``relative/path.tif <label>`` lines with 0-based
+    label ids over the fixed 16-class taxonomy. A classification dataset has
+    no boxes: rows keep the canonical columns (empty ``annotations``) plus a
+    ``document_type`` summary column — the ``image.summary`` /
+    ``PageKey.DOCUMENT_TYPE`` analog. The label file is read distributed
+    (``read_text`` → ``map_batches``)."""
+    card = DatasetCard(
+        name="rvlcdip_like",
+        dataset_type="sequence_classification",
+        location=location,
+        init_categories=list(RVLCDIP_CATEGORIES),
+        annotation_files=annotation_files
+        or {"train": "labels/train.txt", "val": "labels/val.txt", "test": "labels/test.txt"},
+    )
+
+    def builder(card: DatasetCard, split: str) -> ray.data.Dataset:
+        path = os.path.join(card.location, card.annotation_files[split])
+        raw = ray.data.read_text(path)
+
+        def to_rows(batch: pa.Table) -> pa.Table:
+            rows = []
+            for line in batch["text"].to_pylist():
+                parts = line.split()
+                if len(parts) < 2:
+                    continue
+                location, label = parts[0], int(parts[1])
+                if not 0 <= label < len(RVLCDIP_CATEGORIES):
+                    raise ValueError(f"rvlcdip label {label} out of range in {line!r}")
+                rows.append(
+                    {
+                        "image_id": location,
+                        "file_name": os.path.split(location)[1],
+                        "split": split,
+                        "width": 0.0,
+                        "height": 0.0,
+                        "annotations": [],
+                        "document_type": RVLCDIP_CATEGORIES[label],
+                    }
+                )
+            schema = pa.schema(
+                list(CANONICAL_SCHEMA) + [pa.field("document_type", pa.string())]
+            )
+            return pa.Table.from_pylist(rows, schema=schema)
+
+        return raw.map_batches(to_rows, batch_format="pyarrow")
+
+    return CustomDataset(card, builder)
+
+
 def merge_datasets(datasets: list[CustomDataset], split: str = "train", **build_kwargs) -> ray.data.Dataset:
     """``MergeDataset`` analog (``dd_datasets/base.py:179-409``): union the
     canonical builds and tag provenance in a ``dataset_name`` column so split

@@ -138,3 +138,109 @@ def test_funsd_like_token_labels(ray_session, tmp_path_factory):
     anns = df.iloc[0]["annotations"]
     assert [a["category"] for a in anns] == ["question", "answer", "answer"]
     assert anns[1]["x0"] == 35.0 and anns[1]["bottom"] == 12.0
+
+
+@pytest.fixture(scope="module")
+def doclaynet_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dln")
+    os.makedirs(d / "COCO", exist_ok=True)
+    doc = {
+        "images": [{"id": 1, "file_name": "p.png", "width": 100, "height": 80}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 6, "bbox": [0, 0, 10, 10]},
+            {"id": 2, "image_id": 1, "category_id": 9, "bbox": [5, 5, 10, 10]},
+            {"id": 3, "image_id": 1, "category_id": 1, "bbox": [1, 1, 2, 2]},
+        ],
+        "categories": [
+            {"id": i + 1, "name": n}
+            for i, n in enumerate(
+                ["caption", "footnote", "formula", "list", "page_footer",
+                 "page_header", "figure", "section_header", "table", "text", "title"]
+            )
+        ],
+    }
+    with open(d / "COCO" / "val.json", "w") as fh:
+        json.dump(doc, fh)
+    return str(d)
+
+
+def test_doclaynet_like_fine_and_coarse(ray_session, doclaynet_dir):
+    from deepdoctection_ray.datasets import get_dataset
+
+    fine = get_dataset("doclaynet_like", location=doclaynet_dir).build("val").to_pandas()
+    cats = [a["category"] for a in fine.iloc[0]["annotations"]]
+    assert cats == ["page_header", "table", "caption"]
+    coarse = (
+        get_dataset("doclaynet_like", location=doclaynet_dir, coarse=True)
+        .build("val").to_pandas()
+    )
+    # reference coarse_mapping: page_header→title, table→table, caption→text
+    assert [a["category"] for a in coarse.iloc[0]["annotations"]] == ["title", "table", "text"]
+
+
+@pytest.fixture(scope="module")
+def xfund_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("xfund")
+    def doc(lang, split):
+        return {
+            "documents": [
+                {
+                    "id": f"{lang}_{split}_0",
+                    "img": {"fname": f"{lang}_{split}_0.jpg", "width": 200, "height": 100},
+                    "document": [
+                        {
+                            "label": "question",
+                            "words": [
+                                {"box": [0, 0, 10, 10], "text": "Name"},
+                                {"box": [12, 0, 22, 10], "text": ":"},
+                            ],
+                        },
+                        {"label": "other", "words": [{"box": [0, 20, 30, 30], "text": "x"}]},
+                    ],
+                }
+            ]
+        }
+    for lang in ("de", "fr"):
+        for split in ("train", "val"):
+            with open(d / f"{lang}.{split}.json", "w") as fh:
+                json.dump(doc(lang, split), fh)
+    # the default card lists all 7 languages; missing files are only opened
+    # when their language is selected, so restrict annotation_files
+    return str(d)
+
+
+def test_xfund_like_bio_tags_and_language_filter(ray_session, xfund_dir):
+    from deepdoctection_ray.datasets import get_dataset
+
+    files = {s: [f"{l}.{s}.json" for l in ("de", "fr")] for s in ("train", "val")}
+    ds = get_dataset("xfund_like", location=xfund_dir, annotation_files=files)
+    df = ds.build("train").to_pandas()
+    assert len(df) == 2  # one doc per language
+    tags = [a["category"] for a in df.iloc[0]["annotations"]]
+    assert tags == ["B-question", "I-question", "O"]
+    only_de = get_dataset(
+        "xfund_like", location=xfund_dir, annotation_files=files, languages="de"
+    ).build("train").to_pandas()
+    assert list(only_de["image_id"]) == ["de_train_0"]
+    with pytest.raises(ValueError, match="unknown xfund languages"):
+        get_dataset("xfund_like", location=xfund_dir, languages="xx")
+
+
+@pytest.fixture(scope="module")
+def rvlcdip_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("rvl")
+    os.makedirs(d / "labels", exist_ok=True)
+    with open(d / "labels" / "val.txt", "w") as fh:
+        fh.write("imagesa/a/a.tif 0\nimagesb/b/b.tif 15\nimagesc/c/c.tif 11\n")
+    return str(d)
+
+
+def test_rvlcdip_like_document_type(ray_session, rvlcdip_dir):
+    from deepdoctection_ray.datasets import get_dataset
+
+    ds = get_dataset("rvlcdip_like", location=rvlcdip_dir)
+    df = ds.build("val").to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert list(df["document_type"]) == ["letter", "memo", "invoice"]
+    assert list(df["file_name"]) == ["a.tif", "b.tif", "c.tif"]
+    assert all(len(a) == 0 for a in df["annotations"])
+    assert ds.card.dataset_type == "sequence_classification"
