@@ -34,11 +34,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 FIXTURE_DIR = "/tmp/ddray_fixtures"
-_VERSION = 6
+_VERSION = 8
 
 TRANSCRIPTS_DIR = "/tmp/ddray_transcripts_small"
 N_CONVS, SEED, HOT = 60, 42, 10
-N_LAYOUT, N_TABLE, N_PUBTABLES, N_PDFS = 300, 200, 150, 40
+N_LAYOUT, N_TABLE, N_PUBTABLES, N_PDFS, N_LINKS = 300, 200, 150, 40, 150
 
 
 def path(name: str) -> str:
@@ -106,7 +106,9 @@ def ensure_fixtures() -> str:
     from .stages.extract import TurnExtractor
     from .synth import (
         make_deskew_docs,
+        make_entity_docs,
         make_layout_docs,
+        make_link_docs,
         make_pdf_corpus,
         make_pubtables_docs,
         make_table_docs,
@@ -117,7 +119,7 @@ def ensure_fixtures() -> str:
     marker = os.path.join(FIXTURE_DIR, "_meta.json")
     meta = {"v": _VERSION, "n_convs": N_CONVS, "seed": SEED, "hot": HOT,
             "n_layout": N_LAYOUT, "n_table": N_TABLE, "n_pubtables": N_PUBTABLES,
-            "n_pdfs": N_PDFS}
+            "n_pdfs": N_PDFS, "n_links": N_LINKS}
     if os.path.exists(marker):
         try:
             with open(marker) as fh:
@@ -146,6 +148,10 @@ def ensure_fixtures() -> str:
     pq.write_table(make_pubtables_docs(N_PUBTABLES, seed=SEED), path("pubtables_docs"))
     pq.write_table(make_neardup_vecs(), path("neardup_vecs"))
     pq.write_table(make_deskew_docs(100, seed=SEED), path("deskew_docs"))
+    pq.write_table(make_entity_docs(400, seed=SEED), path("entity_docs"))
+    link_docs, link_truth = make_link_docs(N_LINKS, seed=SEED)
+    pq.write_table(link_docs, path("link_docs"))
+    pq.write_table(link_truth, path("link_truth"))
 
     files, truth = make_pdf_corpus(N_PDFS, seed=SEED)
     pdf_dir = os.path.join(FIXTURE_DIR, "pdfs")

@@ -1201,6 +1201,85 @@ FROM read_parquet('/tmp/ddray_fixtures/deskew_docs.parquet')
 """
 
 
+def q_layout_links(sf_dir: str) -> ray.data.Dataset:
+    """Caption→figure layout links (NeighbourMatcher + MatchingService
+    composition, ``pipe/common.py:180-358``) over the link-doc corpus whose
+    construction truth is embedded in the fixture."""
+    from . import fixtures
+    from .stages.links import LayoutLinker
+
+    fixtures.ensure_fixtures()
+    docs = ray.data.read_parquet(fixtures.path("link_docs"))
+    return docs.map_batches(LayoutLinker, batch_format="pyarrow", concurrency=(1, 4))
+
+
+Q_LAYOUT_LINKS_SQL = """
+-- construction truth: captions were placed directly beneath their own
+-- figure/table with slots 250px apart, so nearest-by-center matching must
+-- recover exactly the generator's pairing
+SELECT doc_id, parent_block, child_block, parent_category,
+       'caption' AS child_category
+FROM read_parquet('/tmp/ddray_fixtures/link_truth.parquet')
+"""
+
+
+def q_entities(sf_dir: str) -> ray.data.Dataset:
+    """``Page.get_entities`` surface (``view.py:1756-1784``): one row per
+    non-OTHER entity token with deterministic annotation ids and successor
+    links chaining adjacent same-class tokens. Runs over the entity-doc
+    fixture corpus (the driver's documents table contains no entity tokens,
+    which would make the oracle vacuous); the oracle derives from the TEXT
+    via the same regex lattice in DuckDB — fully differential."""
+    from . import fixtures
+    from .kernels.entities import entity_rows
+    from .stages.classify import TokenClassifier
+
+    fixtures.ensure_fixtures()
+    docs = ray.data.read_parquet(fixtures.path("entity_docs"))
+    out = docs.map_batches(TurnExtractor, batch_format="pyarrow", concurrency=(1, 4))
+    out = out.map_batches(TokenClassifier, batch_format="pyarrow", concurrency=(1, 4))
+    return out.map_batches(entity_rows, batch_format="pyarrow")
+
+
+Q_ENTITIES_SQL = r"""
+-- the TokenClassifier's regex lattice replicated in RE2, successor links by
+-- window lead over the full token sequence (adjacent same-class chaining)
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(l, 1) - 1 AS tok_idx,
+         unnest(l) AS word
+  FROM (
+    SELECT doc_id,
+           string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS l
+    FROM read_parquet('/tmp/ddray_fixtures/entity_docs.parquet')
+  )
+),
+cls AS (
+  SELECT doc_id, tok_idx, word,
+         CASE
+           WHEN regexp_full_match(word, '[0-9]+([.,][0-9]+)*') THEN 'number'
+           WHEN regexp_full_match(word, '\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4}') THEN 'date'
+           WHEN regexp_full_match(word, '(?i)(https?://|www\.)\S+') THEN 'url'
+           WHEN regexp_full_match(word, '[^@\s]+@[^@\s]+\.[^@\s]+') THEN 'email'
+           ELSE 'word'
+         END AS entity
+  FROM toks
+),
+linked AS (
+  SELECT doc_id, tok_idx, word, entity,
+         CAST(doc_id AS VARCHAR) || '/' || CAST(tok_idx AS VARCHAR) AS annotation_id,
+         CASE
+           WHEN lead(entity) OVER w = entity AND lead(tok_idx) OVER w = tok_idx + 1
+           THEN CAST(doc_id AS VARCHAR) || '/' || CAST(tok_idx + 1 AS VARCHAR)
+         END AS successor_annotation_id
+  FROM cls
+  WINDOW w AS (PARTITION BY doc_id ORDER BY tok_idx)
+)
+SELECT doc_id, tok_idx, word, entity, annotation_id, successor_annotation_id
+FROM linked WHERE entity <> 'word'
+"""
+
+
 def q_extract_layout(sf_dir: str) -> ray.data.Dataset:
     """Full layout-pipeline composition (NMS → ioa matching → residual lines →
     reading order) over a deterministic detector-output table."""
@@ -1313,6 +1392,8 @@ def build_queries() -> dict:
         "q_read_pdf": q_read_pdf,
         "q_layoutlm_features": q_layoutlm_features,
         "q_deskew": q_deskew,
+        "q_layout_links": q_layout_links,
+        "q_entities": q_entities,
     }
 
 
@@ -1357,6 +1438,8 @@ def build_oracle_sql() -> dict:
         "q_read_pdf": Q_READ_PDF_SQL,
         "q_layoutlm_features": Q_LAYOUTLM_SQL,
         "q_deskew": Q_DESKEW_SQL,
+        "q_layout_links": Q_LAYOUT_LINKS_SQL,
+        "q_entities": Q_ENTITIES_SQL,
         # still rows-only (not SQL-expressible): q_approx_distinct_users (HLL
         # sketch), q_dedup_simhash (custom 64-bit signature), q_knn_lsh /
         # q_knn_ivf (approximate by design — recall pinned by pytest against

@@ -182,6 +182,137 @@ def make_layout_docs(n_docs: int = 300, seed: int = 42) -> pa.Table:
     )
 
 
+def make_link_docs(n_docs: int = 150, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+    """Deterministic caption-link payloads + construction truth.
+
+    Each doc lays out 1-3 figure/table blocks in well-separated vertical
+    slots, each with its caption placed directly beneath it (plus an
+    occasional unrelated text block). Slots are ≥120px apart while a caption
+    sits 6px under its own figure, so the nearest-caption-by-center-distance
+    match (``NeighbourMatcher``) provably recovers the construction pairing —
+    the truth table ``(doc_id, parent_block, child_block, parent_category)``
+    is exact by geometry, not by running the matcher.
+    """
+    doc_ids, payloads = [], []
+    t_doc, t_parent, t_child, t_cat = [], [], [], []
+    for i in range(n_docs):
+        rng = _rng(seed, "links", i)
+        width, height = 600, 800
+        n_pairs = rng.randint(1, 3)
+        blocks: list[dict] = []
+        next_id = 0
+        for p in range(n_pairs):
+            slot_top = 40.0 + 250.0 * p  # slots 250px apart
+            cat = rng.choice(["figure", "figure", "table"])
+            fig = {
+                "block_id": next_id,
+                "category": cat,
+                "x0": 60.0 + rng.uniform(0, 40),
+                "top": slot_top,
+                "x1": 400.0 + rng.uniform(0, 100),
+                "bottom": slot_top + rng.uniform(80, 140),
+            }
+            next_id += 1
+            cap = {
+                "block_id": next_id,
+                "category": "caption",
+                "x0": fig["x0"] + rng.uniform(-10, 10),
+                "top": fig["bottom"] + 6.0,
+                "x1": fig["x1"] - rng.uniform(0, 30),
+                "bottom": fig["bottom"] + 24.0,
+            }
+            next_id += 1
+            blocks.extend([fig, cap])
+            t_doc.append(i)
+            t_parent.append(fig["block_id"])
+            t_child.append(cap["block_id"])
+            t_cat.append(cat)
+        if rng.random() < 0.4:  # unrelated narrative block (never linked)
+            blocks.append(
+                {
+                    "block_id": next_id,
+                    "category": "text",
+                    "x0": 60.0,
+                    "top": 40.0 + 250.0 * n_pairs,
+                    "x1": 540.0,
+                    "bottom": 40.0 + 250.0 * n_pairs + 60.0,
+                }
+            )
+        rng.shuffle(blocks)
+        doc_ids.append(i)
+        payloads.append(
+            json.dumps({"page": {"width": width, "height": height}, "blocks": blocks})
+        )
+    docs = pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "payload": pa.array(payloads, pa.string())}
+    )
+    truth = pa.table(
+        {
+            "doc_id": pa.array(t_doc, pa.int64()),
+            "parent_block": pa.array(t_parent, pa.int64()),
+            "child_block": pa.array(t_child, pa.int64()),
+            "parent_category": pa.array(t_cat, pa.string()),
+        }
+    )
+    return docs, truth
+
+
+def make_entity_docs(n_docs: int = 400, seed: int = 42) -> pa.Table:
+    """Documents with planted entity tokens (numbers, dates, urls, emails)
+    mixed into vocab text, including adjacent same-class runs so successor
+    chaining is exercised. The entity oracle derives from the TEXT via the
+    same regex lattice in DuckDB — differential, not embedded truth."""
+    rows = []
+    for i in range(n_docs):
+        rng = _rng(seed, "entities", i)
+        toks: list[str] = []
+        for _ in range(rng.randint(20, 60)):
+            r = rng.random()
+            if r < 0.70:
+                toks.append(rng.choice(VOCAB))
+            elif r < 0.80:
+                run = rng.randint(1, 3)  # adjacent numbers → successor chain
+                for _ in range(run):
+                    toks.append(
+                        rng.choice(
+                            [
+                                str(rng.randint(0, 99999)),
+                                f"{rng.randint(0, 99)}.{rng.randint(0, 99):02d}",
+                                f"{rng.randint(1, 999)},{rng.randint(0, 999):03d}",
+                            ]
+                        )
+                    )
+            elif r < 0.85:
+                toks.append(
+                    rng.choice(
+                        [
+                            f"{rng.randint(1990, 2030)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}",
+                            f"{rng.randint(1, 12)}/{rng.randint(1, 28)}/{rng.randint(10, 99)}",
+                        ]
+                    )
+                )
+            elif r < 0.90:
+                toks.append(
+                    rng.choice(
+                        [
+                            f"https://example.com/{rng.choice(VOCAB)}",
+                            f"www.{rng.choice(VOCAB)}.org",
+                        ]
+                    )
+                )
+            elif r < 0.95:
+                toks.append(f"{rng.choice(VOCAB)}@{rng.choice(VOCAB)}.com")
+            else:
+                toks.append(rng.choice(VOCAB) + ".")  # punctuated word (stays OTHER)
+        rows.append({"doc_id": i, "text": " ".join(toks)})
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+        }
+    )
+
+
 def make_table_docs(n_docs: int = 200, seed: int = 42) -> pa.Table:
     """Deterministic table-cell payloads (doc_id, text): a jittered R x C cell
     grid whose correct (row, col) assignment is known by construction."""

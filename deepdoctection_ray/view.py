@@ -47,7 +47,11 @@ class Page:
 
     @property
     def document_id(self) -> str | None:
-        return self._row.get("document_id") or self._row.get("conv_id")
+        return (
+            self._row.get("document_id")
+            or self._row.get("doc_id")
+            or self._row.get("conv_id")
+        )
 
     @property
     def page_number(self) -> int | None:
@@ -107,8 +111,95 @@ class Page:
             if abs(b["reading_order"] - order) <= context
         ]
 
+    def get_entities(self) -> list[dict]:
+        """``Page.get_entities`` (``view.py:1756-1784``): reading-ordered
+        entity tokens as ``{word, entity, annotation_id,
+        successor_annotation_id}`` dicts, OTHER-class tokens dropped.
+        Requires the ``token_classes`` column the
+        :class:`stages.classify.TokenClassifier` stage adds."""
+        from .kernels.entities import entities_of_row
+
+        classes = self._row.get("token_classes")
+        if classes is None:
+            raise KeyError(
+                "row has no token_classes — run the TokenClassifier stage first"
+            )
+        return entities_of_row(
+            str(self.document_id),
+            self.text,
+            self._row.get("spans") or [],
+            list(classes),
+        )
+
     def __repr__(self) -> str:  # pragma: no cover
         return (
             f"Page(document_id={self.document_id!r}, page_number={self.page_number}, "
             f"kind={self.payload_kind!r}, blocks={len(self.blocks)})"
         )
+
+
+class TableView:
+    """Typed accessor over one segmented table — the ``Table`` view analog
+    (``dd_core/datapoint/view.py:616-760``), over flat cell records instead
+    of the annotation graph.
+
+    ``cells``: list of dicts ``{row, col, row_span, col_span, text,
+    is_header}`` — the output shape of the segmentation kernels
+    (``kernels/table_segment.py`` / ``kernels/pubtables.py``) plus a header
+    flag (the ``CellLabel.COLUMN_HEADER`` sub-category analog; defaults to
+    "covers grid row 1" when absent, PubTables' usual convention).
+    """
+
+    def __init__(self, cells: list[dict]) -> None:
+        self._cells = [
+            {
+                "row": int(c["row"]),
+                "col": int(c["col"]),
+                "row_span": int(c.get("row_span", 1)),
+                "col_span": int(c.get("col_span", 1)),
+                "text": c.get("text", ""),
+                "is_header": bool(c.get("is_header", int(c["row"]) == 1)),
+            }
+            for c in cells
+        ]
+
+    @property
+    def cells(self) -> list[dict]:
+        return list(self._cells)
+
+    @property
+    def number_of_rows(self) -> int:
+        return max((c["row"] + c["row_span"] - 1 for c in self._cells), default=0)
+
+    @property
+    def number_of_columns(self) -> int:
+        return max((c["col"] + c["col_span"] - 1 for c in self._cells), default=0)
+
+    def row(self, row_number: int) -> list[dict]:
+        """Cells whose row range covers ``row_number`` (``view.py:747-760``),
+        sorted by column."""
+        hits = [
+            c
+            for c in self._cells
+            if c["row"] <= row_number <= c["row"] + c["row_span"] - 1
+        ]
+        return sorted(hits, key=lambda c: c["col"])
+
+    @property
+    def column_header_cells(self) -> list[dict]:
+        """Header-flagged cells sorted by column (``view.py:643-658``)."""
+        return sorted(
+            (c for c in self._cells if c["is_header"]), key=lambda c: c["col"]
+        )
+
+    def kv_header_rows(self, row_number: int) -> dict[str, str]:
+        """``Table.kv_header_rows`` (``view.py:678-728``): for the given row,
+        map ``str((header_col, header_text))`` → cell text, a cell matching
+        every header whose column span covers the cell's column."""
+        kv: dict[str, str] = {}
+        headers = self.column_header_cells
+        for cell in self.row(row_number):
+            for header in headers:
+                if header["col"] <= cell["col"] <= header["col"] + header["col_span"] - 1:
+                    kv[str((header["col"], header["text"]))] = cell["text"]
+        return kv
