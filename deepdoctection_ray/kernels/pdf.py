@@ -507,6 +507,30 @@ class PdfReader:
                 stack.clear()  # ignore all non-text operators
         return words
 
+    def page_lines(self, i: int) -> list[dict]:
+        """Line-level records ``{text, x0, top, x1, bottom}`` — the
+        ``Pdfmium2TextDetector`` granularity (``extern/pdftext.py:138-232``:
+        pypdfium returns whole text objects, i.e. lines, not words). Words
+        sharing a baseline (equal ``bottom``) merge left-to-right into one
+        record whose box is the union."""
+        words = self.page_words(i)
+        by_baseline: dict[float, list[dict]] = {}
+        for w in words:
+            by_baseline.setdefault(w["bottom"], []).append(w)
+        lines = []
+        for bottom in sorted(by_baseline):
+            ws = sorted(by_baseline[bottom], key=lambda w: w["x0"])
+            lines.append(
+                {
+                    "text": " ".join(w["text"] for w in ws),
+                    "x0": min(w["x0"] for w in ws),
+                    "top": min(w["top"] for w in ws),
+                    "x1": max(w["x1"] for w in ws),
+                    "bottom": bottom,
+                }
+            )
+        return lines
+
     def page_pdf_bytes(self, i: int) -> bytes:
         """Re-serialize page ``i`` as a standalone single-page PDF — the
         per-page split contract of ``SerializerPdfDoc.load``

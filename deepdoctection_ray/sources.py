@@ -92,20 +92,25 @@ def read_coco(path: str) -> ray.data.Dataset:
     return joined
 
 
-def split_pdf_pages(row: dict) -> list[dict]:
+def split_pdf_pages(row: dict, mode: str = "word") -> list[dict]:
     """``SerializerPdfDoc.load`` mapper (``custom_serialize.py:620-717``):
     one binary pdf → per-page records.
 
     Real PDFs (``%PDF`` magic) are split by the pure-Python container parser
-    (``kernels/pdf.py`` — classic xref + FlateDecode; the reference's
+    (``kernels/pdf.py`` — classic + PDF-1.5 xref layouts; the reference's
     ``PDFStreamer``, ``dd_core/utils/pdf_utils.py:406-545``): each record
     carries a standalone re-serialized single-page PDF plus the page's
-    extracted word layer as a pdfish JSON payload ready for the extraction
-    stage. Non-PDF buffers keep the legacy ``b"%PAGE%"`` synthetic split so
-    the plumbing tests stay format-agnostic.
+    extracted text layer as a pdfish JSON payload ready for the extraction
+    stage. ``mode='word'`` is the pdfplumber granularity
+    (``PdfPlumberTextDetector``); ``mode='line'`` the pypdfium one
+    (``Pdfmium2TextDetector``, ``extern/pdftext.py:138-232``). Non-PDF
+    buffers keep the legacy ``b"%PAGE%"`` synthetic split so the plumbing
+    tests stay format-agnostic.
     """
     import json
 
+    if mode not in ("word", "line"):
+        raise ValueError(f"mode must be 'word' or 'line', got {mode!r}")
     data: bytes = row["bytes"]
     path = row.get("path", "")
     file_name = path.rsplit("/", 1)[-1]
@@ -116,6 +121,7 @@ def split_pdf_pages(row: dict) -> list[dict]:
         out = []
         for i in range(reader.num_pages):
             width, height = reader.page_size(i)
+            records = reader.page_words(i) if mode == "word" else reader.page_lines(i)
             out.append(
                 {
                     "path": path,
@@ -126,7 +132,7 @@ def split_pdf_pages(row: dict) -> list[dict]:
                     "text": json.dumps(
                         {
                             "page": {"width": width, "height": height},
-                            "words": reader.page_words(i),
+                            "words": records,
                         }
                     ),
                 }
@@ -146,7 +152,10 @@ def split_pdf_pages(row: dict) -> list[dict]:
     ]
 
 
-def read_pdf(path: str | Sequence[str]) -> ray.data.Dataset:
+def read_pdf(path: str | Sequence[str], mode: str = "word") -> ray.data.Dataset:
     """``SerializerPdfDoc.load`` (``custom_serialize.py:658-717``):
-    binary read → per-page flat_map; page bytes stay in the row."""
-    return ray.data.read_binary_files(path, include_paths=True).flat_map(split_pdf_pages)
+    binary read → per-page flat_map; page bytes stay in the row.
+    ``mode``: 'word' (pdfplumber granularity) or 'line' (pypdfium)."""
+    return ray.data.read_binary_files(path, include_paths=True).flat_map(
+        lambda row: split_pdf_pages(row, mode)
+    )
