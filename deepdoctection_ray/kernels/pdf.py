@@ -28,11 +28,17 @@ modern layout (dict objects packed in one ObjStm, Flate+Up-predictor xref
 stream) so fixtures exercise both paths. Reference capability:
 ``dd_core/utils/pdf_utils.py:406-545`` (via pypdfium2).
 
-Limitations (documented, raise loudly): encrypted documents are rejected
-(``pdf_utils.py:168-331`` decrypts; no crypto here). Word boxes use the
-nominal glyph advance 0.5*size per char (Helvetica-average) —
-deterministic, so the differential golden path is exact even though widths
-are approximate.
+Encrypted documents using the Standard security handler with RC4 (V1/V2,
+R2/R3 — the pre-AES scheme; spec §7.6.3, pure hashlib+RC4) decrypt
+transparently with the empty user password, matching the reference's
+decrypt capability (``pdf_utils.py:168-331``); ``write_pdf(encrypt=True)``
+produces such files for fixtures. AES (V4+/R4+) and non-empty passwords
+are rejected loudly.
+
+Limitations (documented, raise loudly): AES-encrypted and password-locked
+documents. Word boxes use the nominal glyph advance 0.5*size per char
+(Helvetica-average) — deterministic, so the differential golden path is
+exact even though widths are approximate.
 """
 
 from __future__ import annotations
@@ -45,6 +51,118 @@ __all__ = ["PdfReader", "write_pdf", "PdfError"]
 
 class PdfError(ValueError):
     pass
+
+
+# ------------------------------------------------- standard security handler
+
+_PW_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+        0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (public algorithm; symmetric, used for both the
+    decrypt path and the fixture-writer encrypt path)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(
+    password: bytes, o_entry: bytes, p: int, id0: bytes, r: int, key_len: int
+) -> bytes:
+    """Spec §7.6.3.3 Algorithm 2: the file encryption key."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update((password + _PW_PAD)[:32])
+    h.update(o_entry[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(id0)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:key_len]).digest()
+    return key[:key_len]
+
+
+def _std_user_check(key: bytes, id0: bytes, r: int) -> bytes:
+    """Spec Algorithms 4 (R2) / 5 (R3): the expected /U entry."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _PW_PAD)
+    digest = hashlib.md5(_PW_PAD + id0).digest()
+    u = _rc4(key, digest)
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    return u + b"\x00" * 16
+
+
+def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Spec §7.6.2 Algorithm 1: the per-object RC4 key."""
+    import hashlib
+
+    h = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+def _std_owner_entry(owner_pw: bytes, user_pw: bytes, r: int, key_len: int) -> bytes:
+    """Spec Algorithm 3: the /O entry (writer side, for fixtures)."""
+    import hashlib
+
+    h = hashlib.md5((owner_pw + _PW_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:key_len]
+    o = _rc4(key, (user_pw + _PW_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+class _EncryptionParams:
+    """Writer-side bundle: file key + the /Encrypt dict + trailer /ID, for
+    V2/R3 RC4-128 with empty user/owner passwords (the layout
+    ``_setup_encryption`` accepts)."""
+
+    def __init__(self, id0: bytes) -> None:
+        self.id0 = id0
+        self.p = -44
+        self.r, self.v, self.key_len = 3, 2, 16
+        self.o_entry = _std_owner_entry(b"", b"", self.r, self.key_len)
+        self.file_key = _std_file_key(b"", self.o_entry, self.p, id0, self.r, self.key_len)
+        self.u_entry = _std_user_check(self.file_key, id0, self.r)
+
+    def encrypt_stream(self, num: int, body: bytes) -> bytes:
+        return _rc4(_object_key(self.file_key, num, 0), body)
+
+    def dict_bytes(self) -> bytes:
+        return (
+            f"<< /Filter /Standard /V {self.v} /R {self.r} /Length {self.key_len * 8} "
+            f"/P {self.p} /O <{self.o_entry.hex()}> /U <{self.u_entry.hex()}> >>"
+        ).encode()
+
+    def trailer_extra(self, enc_num: int) -> str:
+        return f"/Encrypt {enc_num} 0 R /ID [<{self.id0.hex()}> <{self.id0.hex()}>] "
 
 
 _WS = b"\x00\t\n\x0c\r "
@@ -192,9 +310,9 @@ class PdfReader:
         self._cache: dict[tuple[int, int], object] = {}
         self._objstm_cache: dict[int, tuple[bytes, int, list]] = {}
         self.xref: dict = {}  # populated below; resolve() during xref parse sees {}
+        self._file_key: bytes | None = None
         self.xref, self.trailer = self._load_xref_chain()
-        if "/Encrypt" in self.trailer:
-            raise PdfError("encrypted PDFs are not supported")
+        self._setup_encryption()
         root = self.resolve(self.trailer.get("/Root"))
         if not isinstance(root, dict):
             raise PdfError("missing document catalog")
@@ -325,6 +443,38 @@ class PdfReader:
         raw = self.data[lx.pos : end]
         return raw.rstrip(b"\r\n")
 
+    def _setup_encryption(self) -> None:
+        """Standard security handler (spec §7.6.3), RC4 V1/V2 R2/R3, empty
+        user password — the reference's decrypt capability
+        (``pdf_utils.py:168-331``). Verifies /U before accepting the key so
+        password-locked files fail loudly instead of yielding garbage."""
+        enc_ref = self.trailer.get("/Encrypt")
+        if enc_ref is None:
+            return
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise PdfError("malformed /Encrypt dictionary")
+        if self.resolve(enc.get("/Filter")) != "/Standard":
+            raise PdfError("only the Standard security handler is supported")
+        v = int(self.resolve(enc.get("/V", 0)))
+        r = int(self.resolve(enc.get("/R", 2)))
+        if v not in (1, 2) or r not in (2, 3):
+            raise PdfError(f"unsupported encryption V={v} R={r} (AES / V4+ not supported)")
+        key_len = int(self.resolve(enc.get("/Length", 40))) // 8 if v == 2 else 5
+        o_entry = self.resolve(enc.get("/O")) or b""
+        u_entry = self.resolve(enc.get("/U")) or b""
+        p_val = int(self.resolve(enc.get("/P", -1)))
+        ids = self.resolve(self.trailer.get("/ID")) or []
+        id0 = self.resolve(ids[0]) if ids else b""
+        if not isinstance(id0, bytes):
+            id0 = b""
+        key = _std_file_key(b"", o_entry, p_val, id0, r, key_len)
+        expect = _std_user_check(key, id0, r)
+        ok = expect[:16] == u_entry[:16] if r >= 3 else expect == u_entry[:32]
+        if not ok:
+            raise PdfError("encrypted PDF requires a password (empty user password failed)")
+        self._file_key = key
+
     def resolve(self, obj):
         while isinstance(obj, tuple) and obj and obj[0] == "ref":
             obj = self.get_object(obj[1], obj[2])
@@ -352,7 +502,7 @@ class PdfReader:
         if self.data[lx.pos : lx.pos + 6] == b"stream":
             lx.pos += 6
             raw = self._read_stream_raw(lx, value)
-            value = _Stream(value, raw)
+            value = _Stream(value, raw, num=num, gen=gen)
         self._cache[key] = value
         return value
 
@@ -542,18 +692,29 @@ class PdfReader:
 
 
 class _Stream:
-    def __init__(self, meta: dict, raw: bytes) -> None:
+    def __init__(self, meta: dict, raw: bytes, num: int | None = None, gen: int = 0) -> None:
         self.meta = meta
         self.raw = raw
+        self.num = num
+        self.gen = gen
 
     def decoded(self, reader: PdfReader) -> bytes:
+        raw = self.raw
+        # decrypt before de-filtering (encryption is outermost, spec §7.6.2);
+        # xref streams are never encrypted
+        if (
+            getattr(reader, "_file_key", None) is not None
+            and self.num is not None
+            and self.meta.get("/Type") != "/XRef"
+        ):
+            raw = _rc4(_object_key(reader._file_key, self.num, self.gen), raw)
         filt = reader.resolve(self.meta.get("/Filter"))
         if filt is None:
-            return self.raw
+            return raw
         filters = filt if isinstance(filt, list) else [filt]
         parms = reader.resolve(self.meta.get("/DecodeParms"))
         parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
-        data = self.raw
+        data = raw
         for f, p in zip(filters, parms_list):
             if f == "/FlateDecode":
                 data = zlib.decompress(data)
@@ -622,7 +783,12 @@ def _escape(text: str) -> str:
     return text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def write_pdf(pages: list[dict], compress: bool = False, xref_stream: bool = False) -> bytes:
+def write_pdf(
+    pages: list[dict],
+    compress: bool = False,
+    xref_stream: bool = False,
+    encrypt: bool = False,
+) -> bytes:
     """Minimal PDF writer for fixtures and page re-serialization.
 
     Each page dict: ``width``, ``height`` and either ``words`` (list of
@@ -634,9 +800,23 @@ def write_pdf(pages: list[dict], compress: bool = False, xref_stream: bool = Fal
     ``/ObjStm`` and a ``/Type /XRef`` cross-reference stream (W [1 4 2],
     Flate + PNG Up predictor) — the same container shape mainstream writers
     produce, so reader fixtures exercise the modern path end to end.
+
+    ``encrypt=True`` applies the Standard security handler (V2/R3, RC4-128,
+    empty passwords, deterministic /ID from the page content): stream bodies
+    are RC4-encrypted with per-object keys (after Flate — encryption is the
+    outermost layer, spec §7.6.2). Composable with both layouts; in the
+    1.5 layout the /Encrypt dict stays a direct object (never inside the
+    ObjStm, spec §7.5.7) and the ObjStm body is itself encrypted.
     """
+    import hashlib
+
     objects: list[bytes] = []  # 1-indexed
     stream_objs: set[int] = set()
+
+    enc: _EncryptionParams | None = None
+    if encrypt:
+        seed = hashlib.md5(repr(sorted(repr(p) for p in pages)).encode()).digest()
+        enc = _EncryptionParams(seed)
 
     def add(obj: bytes, is_stream: bool = False) -> int:
         objects.append(obj)
@@ -660,10 +840,13 @@ def write_pdf(pages: list[dict], compress: bool = False, xref_stream: bool = Fal
             content = b"\n".join(parts)
         if compress:
             body = zlib.compress(content)
-            stream_dict = f"<< /Length {len(body)} /Filter /FlateDecode >>".encode()
+            filter_part = "/Filter /FlateDecode "
         else:
             body = content
-            stream_dict = f"<< /Length {len(body)} >>".encode()
+            filter_part = ""
+        if enc is not None:
+            body = enc.encrypt_stream(len(objects) + 1, body)
+        stream_dict = f"<< /Length {len(body)} {filter_part}>>".encode()
         content_num = add(stream_dict + b"\nstream\n" + body + b"\nendstream", is_stream=True)
         page_num = add(
             (
@@ -679,9 +862,10 @@ def write_pdf(pages: list[dict], compress: bool = False, xref_stream: bool = Fal
         f"<< /Type /Pages /Kids [{kids}] /Count {len(page_entries)} >>".encode()
     )
     catalog_num = add(f"<< /Type /Catalog /Pages {kids_placeholder} 0 R >>".encode())
+    enc_num = add(enc.dict_bytes()) if enc is not None else 0
 
     if xref_stream:
-        return _emit_xref_stream_layout(objects, stream_objs, catalog_num)
+        return _emit_xref_stream_layout(objects, stream_objs, catalog_num, enc, enc_num)
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
@@ -693,8 +877,9 @@ def write_pdf(pages: list[dict], compress: bool = False, xref_stream: bool = Fal
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
+    trailer_extra = enc.trailer_extra(enc_num) if enc is not None else ""
     out += (
-        f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_num} 0 R >>\n"
+        f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_num} 0 R {trailer_extra}>>\n"
         f"startxref\n{xref_off}\n%%EOF\n"
     ).encode()
     return bytes(out)
@@ -713,7 +898,11 @@ def _png_up_encode(rows: list[bytes], row_len: int) -> bytes:
 
 
 def _emit_xref_stream_layout(
-    objects: list[bytes], stream_objs: set[int], catalog_num: int
+    objects: list[bytes],
+    stream_objs: set[int],
+    catalog_num: int,
+    enc: "_EncryptionParams | None" = None,
+    enc_num: int = 0,
 ) -> bytes:
     """PDF-1.5 serialization: stream objects written directly, every
     dictionary object packed into one ``/ObjStm``, one ``/Type /XRef``
@@ -724,14 +913,16 @@ def _emit_xref_stream_layout(
 
     entries: dict[int, tuple[int, int, int]] = {0: (0, 0, 65535)}
 
-    # direct (stream) objects
+    # direct objects: streams, plus the /Encrypt dict which must never live
+    # inside an object stream (spec §7.5.7)
+    direct = set(stream_objs) | ({enc_num} if enc is not None else set())
     for i, obj in enumerate(objects, 1):
-        if i in stream_objs:
+        if i in direct:
             entries[i] = (1, len(out), 0)
             out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
 
     # pack the dictionary objects into one object stream
-    packed = [i for i in range(1, len(objects) + 1) if i not in stream_objs]
+    packed = [i for i in range(1, len(objects) + 1) if i not in direct]
     bodies: list[bytes] = []
     offs: list[int] = []
     pos = 0
@@ -743,6 +934,8 @@ def _emit_xref_stream_layout(
     header = " ".join(f"{i} {o}" for i, o in zip(packed, offs)).encode() + b"\n"
     payload = header + b"".join(bodies)
     zipped = zlib.compress(payload)
+    if enc is not None:
+        zipped = enc.encrypt_stream(objstm_num, zipped)
     entries[objstm_num] = (1, len(out), 0)
     out += (
         f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(packed)} /First {len(header)} "
@@ -762,9 +955,10 @@ def _emit_xref_stream_layout(
         for t, f2, f3 in (entries[n] for n in range(size))
     ]
     xdata = zlib.compress(_png_up_encode(rows, 7))
+    trailer_extra = enc.trailer_extra(enc_num) if enc is not None else ""
     out += (
         f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
-        f"/Root {catalog_num} 0 R /Filter /FlateDecode "
+        f"/Root {catalog_num} 0 R {trailer_extra}/Filter /FlateDecode "
         f"/DecodeParms << /Predictor 12 /Columns 7 >> "
         f"/Length {len(xdata)} >>\nstream\n".encode()
         + xdata

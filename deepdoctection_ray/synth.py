@@ -431,7 +431,9 @@ def make_pdf_corpus(
     newline, words by space. Odd documents use Flate-compressed content
     streams so both filter paths are exercised; every third document is
     written in the PDF-1.5 layout (object streams + predictor-coded xref
-    stream) so the modern-container read path is oracle-covered too.
+    stream) so the modern-container read path is oracle-covered too; every
+    fifth is RC4-encrypted (Standard handler, empty password) so the
+    decrypt path is oracle-covered as well.
     """
     from .kernels.pdf import write_pdf
 
@@ -467,7 +469,12 @@ def make_pdf_corpus(
         files.append(
             (
                 f"doc-{i:03d}.pdf",
-                write_pdf(pages, compress=bool(i % 2), xref_stream=(i % 3 == 0)),
+                write_pdf(
+                    pages,
+                    compress=bool(i % 2),
+                    xref_stream=(i % 3 == 0),
+                    encrypt=(i % 5 == 0),
+                ),
             )
         )
     return files, truth

@@ -233,3 +233,50 @@ def test_pdf15_fixture_corpus_extracts():
                 got_lines.append(" ".join(cur))
             assert "\n".join(got_lines) == t["text"]
     assert n_modern == 2  # docs 0 and 3
+
+
+# ------------------------------------------------------------- encryption
+
+
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("xref_stream", [False, True])
+def test_encrypted_roundtrip(compress, xref_stream):
+    """RC4 Standard-handler (V2/R3, empty password) files decrypt
+    transparently in both container layouts (reference capability:
+    dd_core/utils/pdf_utils.py:168-331)."""
+    data = write_pdf(PAGES, compress=compress, xref_stream=xref_stream, encrypt=True)
+    assert b"/Encrypt" in data
+    reader = PdfReader(data)
+    assert reader.num_pages == 2
+    assert [w["text"] for w in reader.page_words(0)] == ["hello", "world"]
+    assert [w["text"] for w in reader.page_words(1)] == ["page"]
+
+
+def test_encrypted_bytes_actually_ciphered():
+    plain = write_pdf(PAGES)
+    enc = write_pdf(PAGES, encrypt=True)
+    assert b"(hello)" in plain
+    assert b"(hello)" not in enc  # content stream is RC4-ciphered on disk
+
+
+def test_encrypted_page_resplit_emits_plaintext():
+    reader = PdfReader(write_pdf(PAGES, encrypt=True))
+    single = reader.page_pdf_bytes(1)
+    assert b"/Encrypt" not in single
+    assert [w["text"] for w in PdfReader(single).page_words(0)] == ["page"]
+
+
+def test_encrypted_wrong_password_rejected():
+    data = bytearray(write_pdf(PAGES, encrypt=True))
+    # corrupt the /U entry so the empty-password check must fail
+    at = bytes(data).index(b"/U <") + 4
+    data[at : at + 2] = b"00" if data[at : at + 2] != b"00" else b"ff"
+    with pytest.raises(PdfError, match="password"):
+        PdfReader(bytes(data))
+
+
+def test_aes_encryption_rejected_loudly():
+    data = write_pdf(PAGES, encrypt=True)
+    patched = data.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    with pytest.raises(PdfError, match="V=4"):
+        PdfReader(patched)
