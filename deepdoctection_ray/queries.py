@@ -740,6 +740,47 @@ WHERE len(list_intersect(da.g, db.g))::DOUBLE
 """
 
 
+def q_dedup_jaccard(sf_dir: str) -> ray.data.Dataset:
+    """EXACT n-gram-Jaccard near-dup pairs at τ=0.4 via prefix-filtered
+    candidate generation (PPJoin-style) — same semantics as the brute-force
+    oracle, but only ~(1-τ) of each doc's shingles enter the shuffle. The
+    lower threshold (vs minhash's 0.5) exercises pairs the banding path never
+    sees and pins the prefix filter's losslessness."""
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.dedup_ngram_jaccard(docs, "text", "doc_id", threshold=0.4, k=3)
+
+
+Q_DEDUP_JACCARD_SQL = r"""
+-- brute-force 3-word-shingle Jaccard at tau=0.4: the ground truth the
+-- prefix-filtered exact dedup must reproduce verbatim (its candidate pruning
+-- is lossless by the PPJoin prefix lemma, so equality is exact, not approx)
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+         END AS grams
+  FROM toks
+),
+dsh AS (SELECT doc_id, list_distinct(grams) AS g FROM sh),
+ex AS (SELECT doc_id, unnest(g) AS s FROM dsh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(da.g, db.g))::DOUBLE
+             / (len(da.g) + len(db.g) - len(list_intersect(da.g, db.g))), 6) AS jaccard
+FROM cand c JOIN dsh da ON c.id_a = da.doc_id JOIN dsh db ON c.id_b = db.doc_id
+WHERE len(list_intersect(da.g, db.g))::DOUBLE
+      / (len(da.g) + len(db.g) - len(list_intersect(da.g, db.g))) >= 0.4
+"""
+
+
 def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return dd.dedup_simhash(docs, "text", "doc_id", max_hamming=8)
@@ -1376,6 +1417,7 @@ def build_queries() -> dict:
         "q_lang_id": q_lang_id,
         "q_rolling_fingerprint": q_rolling_fingerprint,
         "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_jaccard": q_dedup_jaccard,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embedding": q_dedup_embedding,
         "q_knn_cosine": q_knn_cosine,
@@ -1427,6 +1469,7 @@ def build_oracle_sql() -> dict:
         "q_lang_id": _lang_sql(),
         "q_rolling_fingerprint": Q_ROLLING_FP_SQL,
         "q_dedup_minhash": Q_DEDUP_MINHASH_SQL,
+        "q_dedup_jaccard": Q_DEDUP_JACCARD_SQL,
         "q_dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
         "q_extract_transcripts": Q_EXTRACT_TRANSCRIPTS_SQL,
         "q_extract_layout": Q_EXTRACT_LAYOUT_SQL,

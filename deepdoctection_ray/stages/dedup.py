@@ -370,10 +370,23 @@ def dedup_minhash(
     )
     if not verify:
         return pairs
+    return _verify_pairs_exact(ds, pairs, text_column, id_column, threshold, k)
+
+
+def _verify_pairs_exact(
+    ds: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    text_column: str,
+    id_column: str,
+    threshold: float,
+    k: int,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification of candidate ``(id_a, id_b)`` pairs —
+    fully bucketed, shared by the minhash and n-gram-Jaccard dedups."""
     # pairs fans out to two consumers below (candidate explode + join probe);
-    # materialize the SMALL candidate set once so the corpus-wide LSH chain
-    # is not re-executed per consumer (blocks stay in the object store and
-    # spill — never on the driver), and drop the schema-less empty blocks
+    # materialize the SMALL candidate set once so the corpus-wide candidate
+    # chain is not re-executed per consumer (blocks stay in the object store
+    # and spill — never on the driver), and drop the schema-less empty blocks
     # map_groups leaves behind so the Acero joins see a stable schema
     from ..functions.joins import drop_empty_blocks
 
@@ -436,6 +449,89 @@ def dedup_minhash(
         return batch.filter(keep)
 
     return withs.map_batches(verify_batch, batch_format="pyarrow")
+
+
+def dedup_ngram_jaccard(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 3,
+    max_bucket: int = 256,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT word-k-gram Jaccard near-duplicate pairs ≥ ``threshold``.
+
+    Unlike :func:`dedup_minhash` (probabilistic banding) this is exact by
+    construction, yet never enumerates all O(n²) pairs: candidate generation
+    uses PREFIX FILTERING (the PPJoin/All-Pairs family, Xiao et al. 2008 —
+    public literature, no reference analog). Each doc's distinct shingle
+    hashes sort under the global numeric order; only the first
+    ``|S| - ceil(t·|S|) + 1`` of them are posted to the inverted index.
+    Lossless: Jaccard(A,B) ≥ t ⟹ |A∩B| ≥ t·max(|A|,|B|), and the first
+    common element of two sorted sets with overlap ≥ ceil(t·|X|) must sit
+    inside X's prefix for both sides — so every qualifying pair still
+    collides on a posted shingle. At t=0.8 only ~20% of each doc's shingles
+    enter the shuffle.
+
+    Collision detection reuses the bucketed groupby (no per-shingle Python
+    group), pair dedup is bucketed, and verification is the same bucketed
+    exact-Jaccard join chain as minhash. Over-``max_bucket`` shingle buckets
+    (stop-phrase shingles) are truncated and REPORTED via
+    :func:`truncation_counts`.
+    """
+
+    def to_prefix_postings(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column]
+        sh_out: list[np.ndarray] = []
+        idx_out: list[int] = []
+        for i, t in enumerate(batch[text_column].to_pylist()):
+            sh = np.unique(shingle_hashes(t or "", k))
+            n = len(sh)
+            p = max(1, n - int(np.ceil(threshold * n)) + 1)
+            sh_out.append(sh[:p])  # np.unique output is already sorted
+            idx_out.append(i)
+        counts = [len(s) for s in sh_out]
+        flat = (
+            np.concatenate(sh_out) if sh_out else np.empty(0, dtype=np.uint64)
+        ).view(np.int64)
+        take = pa.array(np.repeat(np.asarray(idx_out, dtype=np.int64), counts))
+        return pa.table(
+            {
+                "shingle": pa.array(flat, pa.int64()),
+                id_column: pc.take(ids, take),
+            }
+        )
+
+    postings = ds.map_batches(to_prefix_postings, batch_format="pyarrow")
+
+    def emit_bucket(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        sizes = g.groupby("shingle")[id_column].transform("size")
+        coll = g[sizes > 1]
+        a_out, b_out = [], []
+        trunc_buckets = trunc_rows = 0
+        for _, sub in coll.groupby("shingle", sort=False):
+            ids = sorted(sub[id_column].unique())[:max_bucket]
+            if len(sub) > max_bucket:
+                trunc_buckets += 1
+                trunc_rows += len(sub) - max_bucket
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+        if trunc_buckets:
+            _report_truncation("ngram_jaccard", trunc_buckets, trunc_rows)
+        dtype = g[id_column].dtype
+        return pd.DataFrame(
+            {"id_a": pd.Series(a_out, dtype=dtype), "id_b": pd.Series(b_out, dtype=dtype)}
+        ).drop_duplicates()
+
+    pairs = _dedup_pair_rows(
+        _grouped_collisions(postings, ["shingle"], emit_bucket, num_buckets)
+    )
+    return _verify_pairs_exact(ds, pairs, text_column, id_column, threshold, k)
 
 
 # ------------------------------------------------------------------- simhash

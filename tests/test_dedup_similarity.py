@@ -149,3 +149,45 @@ def test_truncation_cap_is_reported(ray_session):
     assert len(pairs) >= 1
     reset_truncation_counts()
     assert truncation_counts().get("minhash") is None
+
+
+def test_dedup_ngram_jaccard_exact_vs_bruteforce(ray_session, docs_with_dups):
+    """The prefix-filtered exact dedup must equal brute-force pairwise Jaccard
+    over all docs — the PPJoin prefix lemma makes pruning lossless."""
+    from deepdoctection_ray.stages.dedup import dedup_ngram_jaccard, jaccard, shingle_hashes
+
+    threshold = 0.4
+    df = docs_with_dups.to_pandas()
+    sets = {r.doc_id: set(np.unique(shingle_hashes(r.text))) for r in df.itertuples()}
+    ids = sorted(sets)
+    expected = {
+        (a, b): round(jaccard(sets[a], sets[b]), 6)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if jaccard(sets[a], sets[b]) >= threshold
+    }
+    pairs = dedup_ngram_jaccard(docs_with_dups, threshold=threshold).to_pandas()
+    got = {
+        (r.id_a, r.id_b): r.jaccard for r in pairs.itertuples()
+    }
+    assert got == expected
+    assert (0, 100) in got and got[(0, 100)] == 1.0
+
+
+def test_dedup_ngram_jaccard_truncation_reported(ray_session):
+    import ray.data
+    from deepdoctection_ray.stages.dedup import (
+        dedup_ngram_jaccard, reset_truncation_counts, truncation_counts,
+    )
+
+    reset_truncation_counts()
+    text = "identical text shared by every planted document in this bucket"
+    rows = [{"doc_id": i, "text": text} for i in range(12)]
+    pairs = dedup_ngram_jaccard(
+        ray.data.from_items(rows), threshold=0.5, max_bucket=4
+    ).to_pandas()
+    counts = truncation_counts()
+    assert "ngram_jaccard" in counts, counts
+    assert counts["ngram_jaccard"]["dropped_rows"] >= 1
+    assert len(pairs) >= 1
+    reset_truncation_counts()
