@@ -34,11 +34,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 FIXTURE_DIR = "/tmp/ddray_fixtures"
-_VERSION = 9
+_VERSION = 10
 
 TRANSCRIPTS_DIR = "/tmp/ddray_transcripts_small"
 N_CONVS, SEED, HOT = 60, 42, 10
 N_LAYOUT, N_TABLE, N_PUBTABLES, N_PDFS, N_LINKS = 300, 200, 150, 40, 150
+N_SUBIMG = 120
 
 
 def path(name: str) -> str:
@@ -111,6 +112,7 @@ def ensure_fixtures() -> str:
         make_link_docs,
         make_pdf_corpus,
         make_pubtables_docs,
+        make_subimage_docs,
         make_table_docs,
         make_transcripts,
         write_transcripts,
@@ -119,7 +121,7 @@ def ensure_fixtures() -> str:
     marker = os.path.join(FIXTURE_DIR, "_meta.json")
     meta = {"v": _VERSION, "n_convs": N_CONVS, "seed": SEED, "hot": HOT,
             "n_layout": N_LAYOUT, "n_table": N_TABLE, "n_pubtables": N_PUBTABLES,
-            "n_pdfs": N_PDFS, "n_links": N_LINKS}
+            "n_pdfs": N_PDFS, "n_links": N_LINKS, "n_subimg": N_SUBIMG}
     if os.path.exists(marker):
         try:
             with open(marker) as fh:
@@ -152,6 +154,9 @@ def ensure_fixtures() -> str:
     link_docs, link_truth = make_link_docs(N_LINKS, seed=SEED)
     pq.write_table(link_docs, path("link_docs"))
     pq.write_table(link_truth, path("link_truth"))
+    sub_docs, sub_truth = make_subimage_docs(N_SUBIMG, seed=SEED)
+    pq.write_table(sub_docs, path("subimage_docs"))
+    pq.write_table(sub_truth, path("subimage_truth"))
 
     files, truth = make_pdf_corpus(N_PDFS, seed=SEED)
     pdf_dir = os.path.join(FIXTURE_DIR, "pdfs")

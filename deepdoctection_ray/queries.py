@@ -1264,6 +1264,30 @@ FROM read_parquet('/tmp/ddray_fixtures/link_truth.parquet')
 """
 
 
+def q_sub_layout(sf_dir: str) -> ray.data.Dataset:
+    """Sub-image layout detection (``SubImageLayoutService`` +
+    ``DetectResultGenerator``, ``pipe/sub_layout.py``): crop each ``table``
+    block, run the deterministic line detector on the crop's words, dummy-fill
+    empty tables full-frame, re-embed to page coords. The fixture embeds the
+    construction truth (integer grid rows → exact line unions)."""
+    from . import fixtures
+    from .stages.sub_layout import SubImageLayouter
+
+    fixtures.ensure_fixtures()
+    docs = ray.data.read_parquet(fixtures.path("subimage_docs"))
+    return docs.map_batches(SubImageLayouter, batch_format="pyarrow", concurrency=(1, 4))
+
+
+Q_SUB_LAYOUT_SQL = """
+-- construction truth: each table's word rows are 30px apart (one detected
+-- line per row, box = union of the row's word boxes, top-to-bottom order);
+-- empty tables must yield the DetectResultGenerator full-frame dummy
+SELECT doc_id, parent_block, child_idx, category, x0, top, x1, bottom,
+       score, dummy
+FROM read_parquet('/tmp/ddray_fixtures/subimage_truth.parquet')
+"""
+
+
 def q_entities(sf_dir: str) -> ray.data.Dataset:
     """``Page.get_entities`` surface (``view.py:1756-1784``): one row per
     non-OTHER entity token with deterministic annotation ids and successor
@@ -1435,6 +1459,7 @@ def build_queries() -> dict:
         "q_layoutlm_features": q_layoutlm_features,
         "q_deskew": q_deskew,
         "q_layout_links": q_layout_links,
+        "q_sub_layout": q_sub_layout,
         "q_entities": q_entities,
     }
 
@@ -1482,6 +1507,7 @@ def build_oracle_sql() -> dict:
         "q_layoutlm_features": Q_LAYOUTLM_SQL,
         "q_deskew": Q_DESKEW_SQL,
         "q_layout_links": Q_LAYOUT_LINKS_SQL,
+        "q_sub_layout": Q_SUB_LAYOUT_SQL,
         "q_entities": Q_ENTITIES_SQL,
         # still rows-only (not SQL-expressible): q_approx_distinct_users (HLL
         # sketch), q_dedup_simhash (custom 64-bit signature), q_knn_lsh /

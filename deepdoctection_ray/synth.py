@@ -257,6 +257,108 @@ def make_link_docs(n_docs: int = 150, seed: int = 42) -> tuple[pa.Table, pa.Tabl
     return docs, truth
 
 
+def make_subimage_docs(n_docs: int = 120, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+    """Deterministic sub-image-layout payloads + construction truth.
+
+    Each doc lays out 1-2 ``table`` blocks in separate 350px vertical slots;
+    each table holds 2-4 word ROWS, 30px apart, words 12px tall with ≤18px
+    horizontal gaps — so the default line detector (``make_text_lines`` with
+    ``make_sub_lines=False``) must recover exactly one line per row, whose
+    box is the union of the row's word boxes. All coordinates are integers,
+    making the crop → detect → re-embed arithmetic exact. ~15% of tables are
+    EMPTY (no words): truth for those is the ``DetectResultGenerator``
+    full-frame dummy (score -1.0). Stray words outside every table exercise
+    the crop filter. Truth rows: ``(doc_id, parent_block, child_idx,
+    category, x0, top, x1, bottom, score, dummy)`` with ``child_idx`` in
+    top-to-bottom row order — the detector's creation order."""
+    doc_ids, payloads = [], []
+    t_rows: list[tuple] = []
+    for i in range(n_docs):
+        rng = _rng(seed, "subimage", i)
+        blocks: list[dict] = []
+        words: list[dict] = []
+        n_tables = rng.randint(1, 2)
+        for p in range(n_tables):
+            slot_top = 40 + 350 * p
+            tx0 = 50 + rng.randint(0, 30)
+            tx1 = 500 + rng.randint(0, 60)
+            block_id = p
+            empty = rng.random() < 0.15
+            n_rows = 0 if empty else rng.randint(2, 4)
+            ty1 = slot_top + 20 + max(n_rows, 1) * 30 + 10
+            blocks.append(
+                {
+                    "block_id": block_id, "category": "table",
+                    "x0": float(tx0), "top": float(slot_top),
+                    "x1": float(tx1), "bottom": float(ty1),
+                }
+            )
+            if empty:
+                t_rows.append(
+                    (i, block_id, 0, "line", float(tx0), float(slot_top),
+                     float(tx1), float(ty1), -1.0, True)
+                )
+                continue
+            for r in range(n_rows):
+                row_top = slot_top + 20 + 30 * r
+                x = tx0 + 8
+                row_boxes = []
+                for _w in range(rng.randint(3, 5)):
+                    w_len = rng.randint(30, 70)
+                    if x + w_len > tx1 - 8:
+                        break
+                    box = {
+                        "text": "w", "x0": float(x), "top": float(row_top),
+                        "x1": float(x + w_len), "bottom": float(row_top + 12),
+                    }
+                    words.append(box)
+                    row_boxes.append(box)
+                    x += w_len + rng.randint(6, 18)
+                t_rows.append(
+                    (
+                        i, block_id, r, "line",
+                        min(b["x0"] for b in row_boxes),
+                        float(row_top),
+                        max(b["x1"] for b in row_boxes),
+                        float(row_top + 12),
+                        1.0, False,
+                    )
+                )
+        # stray words outside every table (never matched by the crop)
+        for _s in range(rng.randint(0, 2)):
+            sx = rng.randint(50, 400)
+            words.append(
+                {"text": "stray", "x0": float(sx), "top": 770.0,
+                 "x1": float(sx + 40), "bottom": 782.0}
+            )
+        rng.shuffle(words)
+        doc_ids.append(i)
+        payloads.append(
+            json.dumps({"page": {"width": 600, "height": 800}, "blocks": blocks, "words": words})
+        )
+    docs = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "payload": pa.array(payloads, pa.string()),
+        }
+    )
+    truth = pa.table(
+        {
+            "doc_id": pa.array([t[0] for t in t_rows], pa.int64()),
+            "parent_block": pa.array([t[1] for t in t_rows], pa.int64()),
+            "child_idx": pa.array([t[2] for t in t_rows], pa.int64()),
+            "category": pa.array([t[3] for t in t_rows], pa.string()),
+            "x0": pa.array([t[4] for t in t_rows], pa.float64()),
+            "top": pa.array([t[5] for t in t_rows], pa.float64()),
+            "x1": pa.array([t[6] for t in t_rows], pa.float64()),
+            "bottom": pa.array([t[7] for t in t_rows], pa.float64()),
+            "score": pa.array([t[8] for t in t_rows], pa.float64()),
+            "dummy": pa.array([t[9] for t in t_rows], pa.bool_()),
+        }
+    )
+    return docs, truth
+
+
 def make_entity_docs(n_docs: int = 400, seed: int = 42) -> pa.Table:
     """Documents with planted entity tokens (numbers, dates, urls, emails)
     mixed into vocab text, including adjacent same-class runs so successor
