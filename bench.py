@@ -40,6 +40,7 @@ QUERY_NAMES = [
     "q_knn_cosine",
     "q_extract_documents",
     "q_dedup_minhash",
+    "q_dedup_jaccard",
 ]
 
 

@@ -139,3 +139,15 @@ def intersection_box(box1: np.ndarray, box2: np.ndarray) -> np.ndarray | None:
     if (hi <= lo).any():
         return None
     return np.concatenate([lo, hi])
+
+
+def box_to_point4(boxes: np.ndarray) -> np.ndarray:
+    """nx4 xyxy → (nx4)x2 corner points (``transform.py:55-65``), corner
+    order (ul, lr, ll, ur) exactly as the reference emits."""
+    return boxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape((-1, 2))
+
+
+def point4_to_box(points: np.ndarray) -> np.ndarray:
+    """(nx4)x2 corner points → nx4 xyxy envelope (``transform.py:68-79``)."""
+    pts = points.reshape((-1, 4, 2))
+    return np.concatenate((pts.min(axis=1), pts.max(axis=1)), axis=1)

@@ -148,3 +148,79 @@ def to_grayscale(img: np.ndarray) -> np.ndarray:
     return np.clip(
         0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2], 0, 255
     ).astype(np.uint8)
+
+
+def resize_bilinear(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Pure-numpy bilinear resize with half-pixel centers (the PIL/cv2
+    ``BILINEAR``/``INTER_LINEAR`` convention the reference's
+    ``ResizeTransform`` maps to, ``transform.py:145-254``). uint8 in → uint8
+    out (rounded); float passes through."""
+    h, w = img.shape[:2]
+    ys = np.clip((np.arange(new_h) + 0.5) * (h / new_h) - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(new_w) + 0.5) * (w / new_w) - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    if img.ndim == 3:
+        wy = wy[..., None]
+        wx = wx[..., None]
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    if np.issubdtype(img.dtype, np.integer):
+        return np.clip(np.rint(out), 0, 255).astype(img.dtype)
+    return out.astype(img.dtype)
+
+
+def resize_image(img: np.ndarray, new_w: int, new_h: int, interp: str = "BILINEAR") -> np.ndarray:
+    """``ResizeTransform.apply_image`` dispatch: the reference folds all its
+    interp aliases onto nearest/bilinear (``transform.py:176-185``)."""
+    key = interp.upper()
+    if key in ("NEAREST", "INTER_NEAREST"):
+        return resize_nearest(img, new_w, new_h)
+    if key in ("BILINEAR", "INTER_LINEAR", "BICUBIC", "INTER_AREA", "VIZ", "BOX"):
+        return resize_bilinear(img, new_w, new_h)
+    raise ValueError(f"unknown interp {interp!r}")
+
+
+def inference_resize_dims(h: int, w: int, short_edge_length: int, max_size: int) -> tuple[int, int]:
+    """``InferenceResize.get_transform`` sizing math (``transform.py:256-299``):
+    scale the SHORT edge to ``short_edge_length``, then rescale down if the
+    long edge would exceed ``max_size``; round half-up. Returns (new_h, new_w)."""
+    scale = short_edge_length * 1.0 / min(h, w)
+    if h < w:
+        new_h, new_w = float(short_edge_length), scale * w
+    else:
+        new_h, new_w = scale * h, float(short_edge_length)
+    if max(new_h, new_w) > max_size:
+        scale = max_size * 1.0 / max(new_h, new_w)
+        new_h *= scale
+        new_w *= scale
+    return int(new_h + 0.5), int(new_w + 0.5)
+
+
+def normalize_image(img: np.ndarray, pixel_mean: np.ndarray, pixel_std: np.ndarray) -> np.ndarray:
+    """``normalize_image`` (``transform.py:302-316``): ``(img - mean) / std``
+    via the reference's reciprocal multiply."""
+    return (img - pixel_mean) * (1.0 / pixel_std)
+
+
+def pad_image(img: np.ndarray, top: int, right: int, bottom: int, left: int) -> np.ndarray:
+    """White constant padding (``pad_image``, ``transform.py:319-334``); the
+    inverse coordinate mapping is ``kernels.transforms.unpad_boxes``."""
+    pad = ((top, bottom), (left, right)) + (((0, 0),) if img.ndim == 3 else ())
+    return np.pad(img, pad, "constant", constant_values=255)
+
+
+def rotate_image(img: np.ndarray, angle: int) -> np.ndarray:
+    """Right-angle rotation (``RotationTransform.apply_image``,
+    ``transform.py:431-485``), counter-clockwise — the same convention as
+    ``kernels.transforms.rotate_boxes`` so image and coords stay aligned:
+    pixel (x, y) lands at (y, W - x) for 90°."""
+    if angle % 90 != 0:
+        raise ValueError(f"only right angles supported, got {angle}")
+    return np.rot90(img, k=(angle // 90) % 4)

@@ -112,3 +112,61 @@ def test_image_decoder_unsupported_format_raises(ray_session):
     )
     with pytest.raises(Exception, match="image/png"):
         ds.to_pandas()
+
+
+def test_resize_bilinear_identity_and_dtype():
+    import numpy as np
+    from deepdoctection_ray.kernels.imaging import resize_bilinear, resize_image
+
+    img = (np.arange(6 * 8 * 3) % 251).reshape(6, 8, 3).astype(np.uint8)
+    same = resize_bilinear(img, 8, 6)
+    assert same.dtype == np.uint8 and np.array_equal(same, img)  # identity at same size
+    up = resize_image(img, 16, 12, interp="INTER_LINEAR")
+    assert up.shape == (12, 16, 3)
+    gray = resize_image(img[:, :, 0], 4, 3, interp="NEAREST")
+    assert gray.shape == (3, 4)
+
+
+def test_inference_resize_dims_reference_math():
+    from deepdoctection_ray.kernels.imaging import inference_resize_dims
+
+    # short edge → 480, long edge scales proportionally
+    assert inference_resize_dims(600, 800, 480, 1333) == (480, 640)
+    # long-edge cap kicks in and rescales both
+    h, w = inference_resize_dims(600, 4000, 480, 1333)
+    assert w == 1333 and h == 200
+
+
+def test_pad_normalize_rotate_image():
+    import numpy as np
+    from deepdoctection_ray.kernels.imaging import normalize_image, pad_image, rotate_image
+    from deepdoctection_ray.kernels.transforms import rotate_boxes
+
+    img = np.zeros((4, 5, 3), np.uint8)
+    padded = pad_image(img, 1, 2, 3, 4)
+    assert padded.shape == (8, 11, 3)
+    assert padded[0, 0, 0] == 255 and padded[1, 4, 0] == 0  # white border, content kept
+
+    norm = normalize_image(
+        np.full((2, 2, 3), 100.0), np.array([50.0, 50.0, 50.0]), np.array([25.0, 25.0, 25.0])
+    )
+    assert (norm == 2.0).all()
+
+    # image rotation stays aligned with the box kernel's convention
+    marked = np.zeros((6, 8), np.uint8)
+    marked[2, 5] = 255
+    rot = rotate_image(marked, 90)
+    box = rotate_boxes(np.array([[5.0, 2.0, 6.0, 3.0]]), 90, 8, 6)[0]
+    ys, xs = np.nonzero(rot)
+    assert rot.shape == (8, 6)
+    assert box[0] <= xs[0] < box[2] and box[1] <= ys[0] < box[3]
+
+
+def test_box_point4_roundtrip():
+    import numpy as np
+    from deepdoctection_ray.kernels.boxes import box_to_point4, point4_to_box
+
+    boxes = np.array([[1.0, 2.0, 5.0, 7.0], [0.0, 0.0, 3.0, 3.0]])
+    pts = box_to_point4(boxes)
+    assert pts.shape == (8, 2)
+    assert np.array_equal(point4_to_box(pts), boxes)
