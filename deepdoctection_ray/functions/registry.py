@@ -75,6 +75,25 @@ def _register_builtin_stages() -> None:
 
 _register_builtin_stages()
 
+metric_registry = Registry("metric")
+
+
+def _register_builtin_metrics() -> None:
+    """``eval/registry.py`` analog: the metric catalogue the Evaluator looks
+    up by name (``metric_registry.register``; instances ``accmetric.py:81-226``,
+    ``cocometric.py``, ``tedsmetric.py:110-233``)."""
+    from .eval_extras import coco_map, teds
+    from .metrics import accuracy, confusion_matrix, precision_recall_f1
+
+    metric_registry.register("accuracy", accuracy)
+    metric_registry.register("confusion", confusion_matrix)
+    metric_registry.register("precision_recall_f1", precision_recall_f1)
+    metric_registry.register("coco_map", coco_map)
+    metric_registry.register("teds", teds)
+
+
+_register_builtin_metrics()
+
 
 def build_stage(name: str, **kwargs) -> Callable:
     """Instantiate a registered stage class (for config-driven pipelines —

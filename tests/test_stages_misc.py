@@ -207,3 +207,14 @@ def test_grouped_int_sums_high_cardinality_exact(ray_session):
     assert len(merged) == len(expect)
     assert (merged["sum_x"].to_numpy() == expect["sum_x"].to_numpy()).all()
     assert (merged["n"].to_numpy() == expect["n"].to_numpy()).all()
+
+
+def test_metric_registry_lookup():
+    """eval/registry.py analog: metrics resolvable by name."""
+    from deepdoctection_ray.functions.registry import metric_registry
+
+    assert set(metric_registry.names()) >= {
+        "accuracy", "confusion", "precision_recall_f1", "coco_map", "teds",
+    }
+    assert metric_registry.get("teds")("<table><tr><td>a</td></tr></table>",
+                                       "<table><tr><td>a</td></tr></table>") == 1.0
