@@ -781,6 +781,47 @@ WHERE len(list_intersect(da.g, db.g))::DOUBLE
 """
 
 
+def q_top_ngrams(sf_dir: str) -> ray.data.Dataset:
+    """EXACT corpus top-100 word 3-grams (boilerplate/contamination scan):
+    per-batch Counter combiner → bucketed groupby-sum with per-bucket top-k
+    (lossless: buckets partition the gram space) → tiny global sort with the
+    oracle's (count DESC, ngram ASC) tie-break."""
+    docs = _t(sf_dir, "documents", columns=["text"])
+    return ts.top_ngrams(docs, "text", n=3, k=100)
+
+
+Q_TOP_NGRAMS_SQL = r"""
+-- exact word-3-gram frequency with the engine's short-doc fallback
+-- (< 3 tokens -> the whole text as one gram) and deterministic tie-break
+WITH toks AS (
+  SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+         END AS grams
+  FROM toks
+),
+ex AS (SELECT unnest(grams) AS ngram FROM sh)
+SELECT ngram, count(*)::BIGINT AS n
+FROM ex
+GROUP BY ngram
+ORDER BY n DESC, ngram
+LIMIT 100
+"""
+
+
+def q_heavy_ngrams(sf_dir: str) -> ray.data.Dataset:
+    """Misra-Gries heavy-hitter n-grams (fixed-size mergeable summary) — the
+    sketch path next to the exact `q_top_ngrams`; rows-only check (approximate
+    by nature), the frequency guarantee is pinned in pytest against the exact
+    counter."""
+    docs = _t(sf_dir, "documents", columns=["text"])
+    return ts.heavy_hitter_ngrams(docs, "text", n=3, capacity=256)
+
+
 def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return dd.dedup_simhash(docs, "text", "doc_id", max_hamming=8)
@@ -1442,6 +1483,8 @@ def build_queries() -> dict:
         "q_rolling_fingerprint": q_rolling_fingerprint,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_jaccard": q_dedup_jaccard,
+        "q_top_ngrams": q_top_ngrams,
+        "q_heavy_ngrams": q_heavy_ngrams,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embedding": q_dedup_embedding,
         "q_knn_cosine": q_knn_cosine,
@@ -1495,6 +1538,7 @@ def build_oracle_sql() -> dict:
         "q_rolling_fingerprint": Q_ROLLING_FP_SQL,
         "q_dedup_minhash": Q_DEDUP_MINHASH_SQL,
         "q_dedup_jaccard": Q_DEDUP_JACCARD_SQL,
+        "q_top_ngrams": Q_TOP_NGRAMS_SQL,
         "q_dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
         "q_extract_transcripts": Q_EXTRACT_TRANSCRIPTS_SQL,
         "q_extract_layout": Q_EXTRACT_LAYOUT_SQL,

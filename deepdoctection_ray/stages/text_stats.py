@@ -132,3 +132,140 @@ class LanguageId:
         batch = batch.append_column("lang_pred", pa.array(langs, pa.string()))
         batch = batch.append_column("lang_score", pa.array(scores, pa.float64()))
         return batch
+
+
+def _word_ngrams(text: str, n: int = 3) -> list[str]:
+    """Word n-grams with the short-doc fallback the shingle/oracle SQL pair
+    uses (< n tokens → the whole text as one gram; empty → one empty gram)."""
+    toks = text.split()
+    if len(toks) < n:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def top_ngrams(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    n: int = 3,
+    k: int = 100,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT corpus top-k word n-grams — the boilerplate/contamination-scan
+    primitive of a training-data pipeline.
+
+    Three-level reduction, nothing corpus-sized anywhere: (1) one Counter
+    pass per BATCH emits (ngram, count) partials — the combiner, so the
+    exchange carries per-batch-distinct grams, not per-occurrence rows;
+    (2) grams co-partition by hash (the bucketed pattern) and each bucket
+    folds to its LOCAL top-k with one vectorized groupby — lossless, since
+    buckets partition the key space the global top-k is a subset of the
+    ≤ buckets×k bucket winners; (3) the tiny winner set sorts globally with
+    the deterministic (count DESC, ngram ASC) tie-break the oracle uses.
+    """
+    from collections import Counter
+
+    from ..functions.bucketed import bucketed_map_groups
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_column].to_pylist():
+            c.update(_word_ngrams(t or "", n))
+        return pa.table(
+            {
+                "ngram": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        t = g.group_by("ngram").aggregate([("n", "sum")])
+        df = t.to_pandas().rename(columns={"n_sum": "n"})
+        df = df.sort_values(["n", "ngram"], ascending=[False, True], kind="stable").head(k)
+        return pa.Table.from_pandas(df[["ngram", "n"]], preserve_index=False)
+
+    winners = bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), ["ngram"], bucket_topk, num_buckets
+    )
+    # winner set is ≤ num_buckets × k rows — a driver-safe global sort+limit
+    return winners.sort(["n", "ngram"], descending=[True, False]).limit(k)
+
+
+class MisraGries:
+    """Mergeable Misra-Gries heavy-hitter summary (public algorithm,
+    Misra & Gries 1982; merge per Agarwal et al. 2013): any item with true
+    frequency > N/capacity is guaranteed present, and every kept count
+    undercounts by at most the total decrement — the sketch-path complement
+    to the exact :func:`top_ngrams`."""
+
+    def __init__(self, capacity: int = 256) -> None:
+        self.capacity = capacity
+        self.counts: dict[str, int] = {}
+
+    def add(self, items: list[str]) -> None:
+        c = self.counts
+        for it in items:
+            if it in c:
+                c[it] += 1
+            elif len(c) < self.capacity:
+                c[it] = 1
+            else:
+                dead = [key for key in c if c[key] == 1]
+                for key in c:
+                    c[key] -= 1
+                for key in dead:
+                    del c[key]
+        self.counts = c
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        c = dict(self.counts)
+        for key, v in other.counts.items():
+            c[key] = c.get(key, 0) + v
+        if len(c) > self.capacity:
+            # subtract the (capacity+1)-th largest count and drop ≤ 0
+            cut = sorted(c.values(), reverse=True)[self.capacity]
+            c = {key: v - cut for key, v in c.items() if v - cut > 0}
+        out = MisraGries(self.capacity)
+        out.counts = c
+        return out
+
+
+def heavy_hitter_ngrams(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    n: int = 3,
+    capacity: int = 256,
+) -> "ray.data.Dataset":
+    """Approximate heavy-hitter n-grams with a fixed-size mergeable summary:
+    one Misra-Gries sketch per batch (bounded memory regardless of corpus
+    vocabulary), merged in a tiny final reduce — the 100-TB path when the
+    distinct-gram space is too large even for the bucketed exact top-k.
+    Guarantee: every gram with frequency > N/capacity appears."""
+    import json as _json
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mg = MisraGries(capacity)
+        for t in batch[text_column].to_pylist():
+            mg.add(_word_ngrams(t or "", n))
+        return pa.table(
+            {
+                "part": pa.array([0], pa.int64()),
+                "sketch": pa.array([_json.dumps(mg.counts)], pa.string()),
+            }
+        )
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        acc = MisraGries(capacity)
+        for payload in group["sketch"].to_pylist():
+            other = MisraGries(capacity)
+            other.counts = _json.loads(payload)
+            acc = acc.merge(other)
+        items = sorted(acc.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return pa.table(
+            {
+                "ngram": pa.array([key for key, _ in items], pa.string()),
+                "approx_n": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("part").map_groups(reduce_group, batch_format="pyarrow")

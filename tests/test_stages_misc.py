@@ -218,3 +218,47 @@ def test_metric_registry_lookup():
     }
     assert metric_registry.get("teds")("<table><tr><td>a</td></tr></table>",
                                        "<table><tr><td>a</td></tr></table>") == 1.0
+
+
+def test_top_ngrams_exact(ray_session):
+    from collections import Counter
+
+    import ray.data
+    from deepdoctection_ray.stages.text_stats import _word_ngrams, top_ngrams
+
+    rows = []
+    for i in range(200):
+        body = "the common boilerplate line appears here" if i % 3 == 0 else f"unique text body number {i} with words"
+        rows.append({"text": body})
+    exact = Counter()
+    for r in rows:
+        exact.update(_word_ngrams(r["text"]))
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = top_ngrams(ray.data.from_items(rows), k=10, num_buckets=8).to_pandas()
+    assert list(zip(got["ngram"], got["n"])) == want
+
+
+def test_heavy_hitters_guarantee(ray_session):
+    from collections import Counter
+
+    import ray.data
+    from deepdoctection_ray.stages.text_stats import _word_ngrams, heavy_hitter_ngrams
+
+    rows = []
+    for i in range(300):
+        body = "hot gram triple repeated" if i % 2 == 0 else f"cold unique filler {i} row body"
+        rows.append({"text": body})
+    exact = Counter()
+    for r in rows:
+        exact.update(_word_ngrams(r["text"]))
+    total = sum(exact.values())
+    cap = 64
+    got = heavy_hitter_ngrams(ray.data.from_items(rows), capacity=cap).to_pandas()
+    kept = dict(zip(got["ngram"], got["approx_n"]))
+    # MG guarantee: every gram with true frequency > N/capacity survives,
+    # and no kept count exceeds its true frequency
+    for g, n in exact.items():
+        if n > total / cap:
+            assert g in kept, (g, n, total // cap)
+    for g, n in kept.items():
+        assert n <= exact[g]
