@@ -822,6 +822,26 @@ def q_heavy_ngrams(sf_dir: str) -> ray.data.Dataset:
     return ts.heavy_hitter_ngrams(docs, "text", n=3, capacity=256)
 
 
+def q_split_by_hash(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic train/val/test split as a pure function of the doc id
+    (coordination-free at any scale, any worker/run/subset agrees):
+    md5-permille bucketing, 10% test / 5% val."""
+    docs = _t(sf_dir, "documents", columns=["doc_id"])
+    return ts.split_by_hash(docs, "doc_id", test_permille=100, val_permille=50)
+
+
+Q_SPLIT_BY_HASH_SQL = """
+-- the same md5-permille assignment, fully differential (DuckDB md5 == engine)
+SELECT doc_id,
+       CASE WHEN b < 100 THEN 'test' WHEN b < 150 THEN 'val' ELSE 'train' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 12))::UBIGINT % 1000 AS b
+  FROM documents
+)
+"""
+
+
 def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return dd.dedup_simhash(docs, "text", "doc_id", max_hamming=8)
@@ -1485,6 +1505,7 @@ def build_queries() -> dict:
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_top_ngrams": q_top_ngrams,
         "q_heavy_ngrams": q_heavy_ngrams,
+        "q_split_by_hash": q_split_by_hash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embedding": q_dedup_embedding,
         "q_knn_cosine": q_knn_cosine,
@@ -1539,6 +1560,7 @@ def build_oracle_sql() -> dict:
         "q_dedup_minhash": Q_DEDUP_MINHASH_SQL,
         "q_dedup_jaccard": Q_DEDUP_JACCARD_SQL,
         "q_top_ngrams": Q_TOP_NGRAMS_SQL,
+        "q_split_by_hash": Q_SPLIT_BY_HASH_SQL,
         "q_dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
         "q_extract_transcripts": Q_EXTRACT_TRANSCRIPTS_SQL,
         "q_extract_layout": Q_EXTRACT_LAYOUT_SQL,

@@ -269,3 +269,40 @@ def heavy_hitter_ngrams(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("part").map_groups(reduce_group, batch_format="pyarrow")
+
+
+def split_by_hash(
+    ds: "ray.data.Dataset",
+    id_column: str = "doc_id",
+    test_permille: int = 100,
+    val_permille: int = 0,
+    salt: str = "",
+) -> "ray.data.Dataset":
+    """Deterministic, reproducible train/val/test assignment by content hash —
+    the dataset-split analog (``dd_datasets/base.py:317-366`` samples splits
+    randomly; at 100 TB a split must instead be a pure function of the id so
+    any worker, any run, any subset of the corpus agrees without coordination).
+
+    The bucket is the first 12 hex digits of ``md5(salt + id)`` taken mod
+    1000 (a permille); rows land in ``test`` below ``test_permille``, ``val``
+    below ``test+val``, else ``train``. md5 keeps the oracle differential:
+    DuckDB's ``md5()`` reproduces the assignment exactly.
+    """
+    from ..kernels.ids import md5_hex
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_pylist()
+        splits = []
+        for i in ids:
+            bucket = int(md5_hex(salt + str(i))[:12], 16) % 1000
+            if bucket < test_permille:
+                splits.append("test")
+            elif bucket < test_permille + val_permille:
+                splits.append("val")
+            else:
+                splits.append("train")
+        return pa.table(
+            {id_column: batch[id_column], "split": pa.array(splits, pa.string())}
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -262,3 +262,21 @@ def test_heavy_hitters_guarantee(ray_session):
             assert g in kept, (g, n, total // cap)
     for g, n in kept.items():
         assert n <= exact[g]
+
+
+def test_split_by_hash_deterministic_and_proportional(ray_session):
+    import ray.data
+    from deepdoctection_ray.stages.text_stats import split_by_hash
+
+    rows = [{"doc_id": i} for i in range(5000)]
+    a = split_by_hash(ray.data.from_items(rows), test_permille=100, val_permille=50).to_pandas()
+    b = split_by_hash(ray.data.from_items(rows), test_permille=100, val_permille=50).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["split"] == b["split"]).all()  # pure function of the id
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["test"] - 0.10) < 0.02 and abs(frac["val"] - 0.05) < 0.015
+    # salting re-deals the assignment
+    c = split_by_hash(ray.data.from_items(rows), test_permille=100, salt="v2").to_pandas()
+    c = c.sort_values("doc_id").reset_index(drop=True)
+    assert (a["split"] != c["split"]).any()
