@@ -842,6 +842,42 @@ FROM (
 """
 
 
+def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    """Token-budget sequence packing via the distributed global prefix sum
+    (``functions/scan.py``): each doc lands in ``seq_bin = exclusive
+    token-cumsum // 2048`` in doc_id order — reproducible, coordination-free,
+    equal to the SQL window by construction."""
+    from .functions.scan import pack_by_token_budget
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = [len((t or "").split()) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    counted = docs.map_batches(count, batch_format="pyarrow")
+    return pack_by_token_budget(counted, "doc_id", "n_tokens", budget=2048)
+
+
+Q_PACK_SEQUENCES_SQL = r"""
+-- the same packing as a window: bin = exclusive running token sum / budget
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+  FROM toks
+)
+SELECT doc_id, n_tokens, (p // 2048)::BIGINT AS seq_bin FROM c
+"""
+
+
 def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return dd.dedup_simhash(docs, "text", "doc_id", max_hamming=8)
@@ -1506,6 +1542,7 @@ def build_queries() -> dict:
         "q_top_ngrams": q_top_ngrams,
         "q_heavy_ngrams": q_heavy_ngrams,
         "q_split_by_hash": q_split_by_hash,
+        "q_pack_sequences": q_pack_sequences,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embedding": q_dedup_embedding,
         "q_knn_cosine": q_knn_cosine,
@@ -1561,6 +1598,7 @@ def build_oracle_sql() -> dict:
         "q_dedup_jaccard": Q_DEDUP_JACCARD_SQL,
         "q_top_ngrams": Q_TOP_NGRAMS_SQL,
         "q_split_by_hash": Q_SPLIT_BY_HASH_SQL,
+        "q_pack_sequences": Q_PACK_SEQUENCES_SQL,
         "q_dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
         "q_extract_transcripts": Q_EXTRACT_TRANSCRIPTS_SQL,
         "q_extract_layout": Q_EXTRACT_LAYOUT_SQL,

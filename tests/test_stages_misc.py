@@ -280,3 +280,26 @@ def test_split_by_hash_deterministic_and_proportional(ray_session):
     c = split_by_hash(ray.data.from_items(rows), test_permille=100, salt="v2").to_pandas()
     c = c.sort_values("doc_id").reset_index(drop=True)
     assert (a["split"] != c["split"]).any()
+
+
+def test_global_cumsum_and_packing(ray_session):
+    import numpy as np
+    import ray.data
+    from deepdoctection_ray.functions.scan import global_cumsum, pack_by_token_budget
+
+    rng = np.random.RandomState(11)
+    toks = rng.randint(1, 400, size=2000)
+    # non-contiguous, shuffled keys — the scan must order by key, not stream
+    keys = rng.permutation(np.arange(0, 6000, 3))[:2000]
+    rows = [{"k": int(k), "n": int(t)} for k, t in zip(keys, toks)]
+    ds = ray.data.from_items(rows)
+    out = global_cumsum(ds, "k", "n", num_ranges=16).to_pandas().sort_values("k")
+    order = np.argsort(keys)
+    assert np.array_equal(out["cumsum"].to_numpy(), np.cumsum(toks[order]))
+
+    packed = pack_by_token_budget(ds, "k", "n", budget=1000, num_ranges=16).to_pandas()
+    packed = packed.sort_values("k").reset_index(drop=True)
+    expected_bins = (np.cumsum(toks[order]) - toks[order]) // 1000
+    assert np.array_equal(packed["seq_bin"].to_numpy(), expected_bins)
+    # bins are contiguous from 0 and every doc is packed exactly once
+    assert packed["seq_bin"].min() == 0 and len(packed) == 2000
