@@ -164,3 +164,46 @@ def _combine_bucket_bigint(
     if count_alias:
         cols[count_alias] = pa.array([int(v) for v in res[count_alias]], pa.int64())
     return pa.table(cols)
+
+
+def top_n_per_group(
+    ds: "ray.data.Dataset",
+    group_cols: "Sequence[str]",
+    order_cols: "Sequence[str]",
+    n: int,
+    descending: bool | list[bool] = True,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Limit-per-key: the n first rows of every group under ``order_cols`` —
+    the `ROW_NUMBER() OVER (PARTITION BY .. ORDER BY ..) <= n` shape no
+    Dataset primitive covers.
+
+    Scale design: a PER-BATCH local top-n runs first (any group's global
+    top-n is a subset of the union of its per-batch top-ns, so this is a
+    lossless combiner exactly like a partial aggregate — at most
+    ``n × n_batches`` rows per group cross the exchange); groups then
+    co-partition by hash (the bucketed pattern — ONE vectorized
+    sort+groupby+head per bucket, no per-key Python call). Ties must be
+    broken by ``order_cols`` (make the last one unique) for a deterministic,
+    oracle-matchable result.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_map_groups
+
+    group_cols = list(group_cols)
+    order_cols = list(order_cols)
+    asc = (
+        [not descending] * len(order_cols)
+        if isinstance(descending, bool)
+        else [not d for d in descending]
+    )
+
+    def local_topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, ascending=asc, kind="stable")
+        return df.groupby(group_cols, sort=False).head(n)
+
+    partial = ds.map_batches(local_topn, batch_format="pandas")
+    return bucketed_map_groups(
+        partial, group_cols, local_topn, num_buckets, batch_format="pandas"
+    )

@@ -878,6 +878,90 @@ SELECT doc_id, n_tokens, (p // 2048)::BIGINT AS seq_bin FROM c
 """
 
 
+def q_top_events_per_user(sf_dir: str) -> ray.data.Dataset:
+    """Limit-per-key (`ROW_NUMBER() <= 3`): the 3 most recent events of every
+    user — per-batch lossless local top-n combiner, then ONE bucketed
+    vectorized head per hash bucket (no per-user Python call)."""
+    from .functions.aggregates import top_n_per_group
+
+    ev = _t(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    return top_n_per_group(
+        ev, ["user_id"], ["ts", "event_id"], n=3, descending=[True, False]
+    )
+
+
+Q_TOP_EVENTS_PER_USER_SQL = """
+SELECT user_id, event_id, ts FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination scan: every 20th doc plays the held-out
+    benchmark; the rest of the corpus is flagged when it shares any word
+    8-gram with it (broadcast gram set + streaming membership pass)."""
+    from .stages.dedup import flag_contaminated
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _mod_filter(keep_bench: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            is_bench = pc.equal(
+                pc.subtract(
+                    batch["doc_id"],
+                    pc.multiply(
+                        pc.divide(batch["doc_id"], pa.scalar(20, pa.int64())),
+                        pa.scalar(20, pa.int64()),
+                    ),
+                ),
+                pa.scalar(0, pa.int64()),
+            )
+            return batch.filter(is_bench if keep_bench else pc.invert(is_bench))
+
+        return fn
+
+    bench = docs.map_batches(_mod_filter(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_mod_filter(False), batch_format="pyarrow")
+    return flag_contaminated(corpus, bench, "text", "doc_id", k=8)
+
+
+Q_DECONTAMINATE_SQL = r"""
+-- exact 8-gram leakage scan: n_shared = distinct grams a corpus doc shares
+-- with the doc_id%20==0 benchmark slice (engine counts hashed grams; equal
+-- barring 63-bit collisions)
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(generate_series(1, len(t) - 7),
+                                  i -> array_to_string(t[i:i+7], ' '))
+         END AS grams
+  FROM toks
+),
+dsh AS (SELECT doc_id, list_distinct(grams) AS g FROM sh),
+benchset AS (
+  SELECT DISTINCT unnest(g) AS s FROM dsh WHERE doc_id % 20 = 0
+),
+corpus AS (SELECT doc_id, g FROM dsh WHERE doc_id % 20 <> 0),
+ex AS (SELECT doc_id, unnest(g) AS s FROM corpus),
+shared AS (
+  SELECT e.doc_id, count(DISTINCT e.s)::BIGINT AS n_shared
+  FROM ex e JOIN benchset b ON e.s = b.s
+  GROUP BY e.doc_id
+)
+SELECT c.doc_id,
+       coalesce(s.n_shared, 0)::BIGINT AS n_shared,
+       coalesce(s.n_shared, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN shared s ON c.doc_id = s.doc_id
+"""
+
+
 def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return dd.dedup_simhash(docs, "text", "doc_id", max_hamming=8)
@@ -1543,6 +1627,8 @@ def build_queries() -> dict:
         "q_heavy_ngrams": q_heavy_ngrams,
         "q_split_by_hash": q_split_by_hash,
         "q_pack_sequences": q_pack_sequences,
+        "q_top_events_per_user": q_top_events_per_user,
+        "q_decontaminate": q_decontaminate,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embedding": q_dedup_embedding,
         "q_knn_cosine": q_knn_cosine,
@@ -1599,6 +1685,8 @@ def build_oracle_sql() -> dict:
         "q_top_ngrams": Q_TOP_NGRAMS_SQL,
         "q_split_by_hash": Q_SPLIT_BY_HASH_SQL,
         "q_pack_sequences": Q_PACK_SEQUENCES_SQL,
+        "q_top_events_per_user": Q_TOP_EVENTS_PER_USER_SQL,
+        "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
         "q_extract_transcripts": Q_EXTRACT_TRANSCRIPTS_SQL,
         "q_extract_layout": Q_EXTRACT_LAYOUT_SQL,

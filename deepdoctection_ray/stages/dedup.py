@@ -745,3 +745,76 @@ def dedup_embedding_cosine(
 
     banded = ds.map_batches(to_buckets, batch_format="pyarrow")
     return _dedup_pair_rows(_grouped_collisions(banded, ["band", "bucket"], emit_bucket))
+
+
+class ContaminationFlagger:
+    """Actor: membership of each doc's k-gram hashes against a broadcast
+    benchmark gram set (``ray.put`` once, ``ray.get`` once per ACTOR in
+    ``__init__`` — never re-shipped per batch). The benchmark side of a
+    decontamination scan is small (an eval suite); the corpus side streams."""
+
+    def __init__(self, bench_ref, text_column: str = "text", id_column: str = "doc_id", k: int = 8) -> None:
+        import ray
+
+        self._bench = ray.get(bench_ref)  # sorted unique uint64
+        self._text = text_column
+        self._id = id_column
+        self._k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        shared_counts = []
+        for t in batch[self._text].to_pylist():
+            sh = np.unique(shingle_hashes(t or "", self._k))
+            shared_counts.append(
+                int(np.isin(sh, self._bench, assume_unique=True).sum())
+            )
+        n_shared = pa.array(shared_counts, pa.int64())
+        return pa.table(
+            {
+                self._id: batch[self._id],
+                "n_shared": n_shared,
+                "contaminated": pc.greater(n_shared, pa.scalar(0, pa.int64())),
+            }
+        )
+
+
+def flag_contaminated(
+    corpus: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k: int = 8,
+) -> ray.data.Dataset:
+    """Benchmark decontamination: flag every corpus doc sharing ≥1 word
+    k-gram with the benchmark set (the train/test-leakage scan of an LLM
+    data pipeline; k=8 is the common contamination window).
+
+    The benchmark grams reduce per batch (unique within batch), union on the
+    driver (benchmark-sized by assumption — an eval suite, not a corpus) and
+    broadcast once via ``ray.put``; the corpus pass is a streaming
+    ``map_batches`` with a vectorized sorted-array membership test. Output:
+    ``(id, n_shared, contaminated)`` with ``n_shared`` = distinct shared
+    grams — equal to the SQL intersect count barring 63-bit hash collisions.
+    """
+    import ray
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        acc = [shingle_hashes(t or "", k) for t in batch[text_column].to_pylist()]
+        u = np.unique(np.concatenate(acc)) if acc else np.empty(0, np.uint64)
+        return pa.table({"g": pa.array(u.view(np.int64), pa.int64())})
+
+    parts = benchmark.map_batches(bench_grams, batch_format="pyarrow").take_all()
+    merged = (
+        np.unique(np.array([r["g"] for r in parts], np.int64).view(np.uint64))
+        if parts
+        else np.empty(0, np.uint64)
+    )
+    bench_ref = ray.put(merged)
+    return corpus.map_batches(
+        ContaminationFlagger,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs=dict(
+            bench_ref=bench_ref, text_column=text_column, id_column=id_column, k=k
+        ),
+    )

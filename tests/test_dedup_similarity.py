@@ -191,3 +191,51 @@ def test_dedup_ngram_jaccard_truncation_reported(ray_session):
     assert counts["ngram_jaccard"]["dropped_rows"] >= 1
     assert len(pairs) >= 1
     reset_truncation_counts()
+
+
+def test_top_n_per_group_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+    from deepdoctection_ray.functions.aggregates import top_n_per_group
+
+    rng = np.random.RandomState(21)
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 40, 1000),
+            "v": rng.permutation(1000),
+            "id": np.arange(1000),
+        }
+    )
+    got = (
+        top_n_per_group(ray.data.from_pandas(df), ["g"], ["v", "id"], n=3, num_buckets=8)
+        .to_pandas()
+        .sort_values(["g", "v"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["v", "id"], ascending=[False, True])
+        .groupby("g", sort=False)
+        .head(3)
+        .sort_values(["g", "v"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "v", "id"]], want[["g", "v", "id"]])
+
+
+def test_flag_contaminated_exact(ray_session):
+    import ray.data
+    from deepdoctection_ray.stages.dedup import flag_contaminated
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        {"doc_id": 1, "text": "prefix words then " + bench_text + " suffix"},  # shares 8-grams
+        {"doc_id": 2, "text": "completely different content with no overlap at all here"},
+        {"doc_id": 3, "text": bench_text},  # identical
+    ]
+    corpus = ray.data.from_items(rows)
+    bench = ray.data.from_items([{"doc_id": 100, "text": bench_text}])
+    out = flag_contaminated(corpus, bench).to_pandas().set_index("doc_id")
+    assert bool(out.loc[1, "contaminated"]) and bool(out.loc[3, "contaminated"])
+    assert not bool(out.loc[2, "contaminated"])
+    # doc 3 shares all 3 of the benchmark's 8-grams (10 words -> 3 grams)
+    assert out.loc[3, "n_shared"] == 3
