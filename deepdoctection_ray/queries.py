@@ -962,6 +962,40 @@ FROM corpus c LEFT JOIN shared s ON c.doc_id = s.doc_id
 """
 
 
+def q_segment_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Sub-document repetition removal: 20-word segments, first occurrence
+    (smallest (doc_id, seg_idx)) survives — exact, bucketed first-wins."""
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.dedup_segments(docs, "text", "doc_id", window=20)
+
+
+Q_SEGMENT_DEDUP_SQL = r"""
+-- the same fixed-window segmentation + first-occurrence rule as a window:
+-- segments are 20-token slices (1-based inclusive list slicing), empty docs
+-- contribute one empty segment; first = smallest (doc_id, seg_idx)
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         unnest(generate_series(0, greatest(len(t) - 1, 0) // 20)) AS seg_idx,
+         t
+  FROM toks
+),
+seg2 AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(t[seg_idx * 20 + 1 : seg_idx * 20 + 20], ' ') AS seg
+  FROM segs
+)
+SELECT doc_id, seg_idx, seg FROM (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM seg2
+) WHERE rn = 1
+"""
+
+
 def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return dd.dedup_simhash(docs, "text", "doc_id", max_hamming=8)
@@ -1629,6 +1663,7 @@ def build_queries() -> dict:
         "q_pack_sequences": q_pack_sequences,
         "q_top_events_per_user": q_top_events_per_user,
         "q_decontaminate": q_decontaminate,
+        "q_segment_dedup": q_segment_dedup,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embedding": q_dedup_embedding,
         "q_knn_cosine": q_knn_cosine,
@@ -1687,6 +1722,7 @@ def build_oracle_sql() -> dict:
         "q_pack_sequences": Q_PACK_SEQUENCES_SQL,
         "q_top_events_per_user": Q_TOP_EVENTS_PER_USER_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
+        "q_segment_dedup": Q_SEGMENT_DEDUP_SQL,
         "q_dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
         "q_extract_transcripts": Q_EXTRACT_TRANSCRIPTS_SQL,
         "q_extract_layout": Q_EXTRACT_LAYOUT_SQL,

@@ -818,3 +818,56 @@ def flag_contaminated(
             bench_ref=bench_ref, text_column=text_column, id_column=id_column, k=k
         ),
     )
+
+
+def dedup_segments(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    window: int = 20,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Cross-document repetition removal at sub-document granularity (the
+    paragraph/line-dedup step of an LLM data pipeline, cf. Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" — public
+    literature): documents split into fixed ``window``-word segments and only
+    the FIRST occurrence of every distinct segment survives, "first" =
+    smallest ``(id, seg_idx)`` — deterministic and oracle-matchable.
+
+    The split is a vectorized ``map_batches`` explode; first-wins runs on the
+    bucketed pattern keyed by the segment text (ONE vectorized
+    drop-duplicates per hash bucket, no per-segment Python call). Output:
+    ``(id, seg_idx, seg)`` surviving rows."""
+    import pandas as pd
+
+    from ..functions.bucketed import bucketed_map_groups
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, idxs, segs = [], [], []
+        for i, t in zip(batch[id_column].to_pylist(), batch[text_column].to_pylist()):
+            toks = (t or "").split()
+            n_segs = max(1, -(-len(toks) // window))
+            for s in range(n_segs):
+                ids.append(i)
+                idxs.append(s)
+                segs.append(" ".join(toks[s * window : (s + 1) * window]))
+        return pa.table(
+            {
+                id_column: pa.array(ids, batch[id_column].type),
+                "seg_idx": pa.array(idxs, pa.int64()),
+                "seg": pa.array(segs, pa.string()),
+            }
+        )
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["seg", id_column, "seg_idx"], kind="stable").drop_duplicates(
+            "seg", keep="first"
+        )
+
+    return bucketed_map_groups(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["seg"],
+        first_wins,
+        num_buckets,
+        batch_format="pandas",
+    )

@@ -239,3 +239,22 @@ def test_flag_contaminated_exact(ray_session):
     assert not bool(out.loc[2, "contaminated"])
     # doc 3 shares all 3 of the benchmark's 8-grams (10 words -> 3 grams)
     assert out.loc[3, "n_shared"] == 3
+
+
+def test_dedup_segments_first_wins(ray_session):
+    import ray.data
+    from deepdoctection_ray.stages.dedup import dedup_segments
+
+    shared = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        {"doc_id": 1, "text": shared + " unique tail one"},
+        {"doc_id": 2, "text": shared + " different tail two"},  # seg 0 duplicates doc 1's
+        {"doc_id": 3, "text": "totally fresh segment content"},
+        {"doc_id": 4, "text": ""},  # empty doc -> one empty segment
+    ]
+    out = dedup_segments(ray.data.from_items(rows), window=20).to_pandas()
+    got = {(r.doc_id, r.seg_idx) for r in out.itertuples()}
+    # doc 2's first segment lost (doc 1 came first); its tail survives
+    assert (1, 0) in got and (2, 0) not in got and (2, 1) in got
+    assert (3, 0) in got and (4, 0) in got
+    assert out[out["doc_id"] == 4]["seg"].iloc[0] == ""
