@@ -996,6 +996,24 @@ SELECT doc_id, seg_idx, seg FROM (
 """
 
 
+def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic stratified sample: 5 docs per source, chosen by smallest
+    md5(doc_id) — a pure function of the ids, so the SQL window reproduces it
+    exactly."""
+    docs = _t(sf_dir, "documents", columns=["doc_id", "source"])
+    return ts.stratified_sample(docs, "source", "doc_id", n_per_group=5)
+
+
+Q_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+"""
+
+
 def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return dd.dedup_simhash(docs, "text", "doc_id", max_hamming=8)
@@ -1664,6 +1682,7 @@ def build_queries() -> dict:
         "q_top_events_per_user": q_top_events_per_user,
         "q_decontaminate": q_decontaminate,
         "q_segment_dedup": q_segment_dedup,
+        "q_stratified_sample": q_stratified_sample,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embedding": q_dedup_embedding,
         "q_knn_cosine": q_knn_cosine,
@@ -1723,6 +1742,7 @@ def build_oracle_sql() -> dict:
         "q_top_events_per_user": Q_TOP_EVENTS_PER_USER_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_segment_dedup": Q_SEGMENT_DEDUP_SQL,
+        "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
         "q_dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
         "q_extract_transcripts": Q_EXTRACT_TRANSCRIPTS_SQL,
         "q_extract_layout": Q_EXTRACT_LAYOUT_SQL,

@@ -306,3 +306,32 @@ def split_by_hash(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    group_column: str,
+    id_column: str = "doc_id",
+    n_per_group: int = 5,
+    salt: str = "",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Deterministic stratified sample: the ``n_per_group`` rows of every
+    group with the smallest ``md5(salt + id)`` — "random" under the hash yet
+    a pure function of the ids (any worker/run/subset agrees; re-deal with
+    ``salt``). Source-balancing subsampler for mixture tuning. Composes the
+    md5 ranking of :func:`split_by_hash` with the lossless per-batch + 
+    bucketed limit-per-key of ``top_n_per_group``."""
+    from ..functions.aggregates import top_n_per_group
+    from ..kernels.ids import md5_hex
+
+    def rank(batch: pa.Table) -> pa.Table:
+        h = [md5_hex(salt + str(i)) for i in batch[id_column].to_pylist()]
+        return batch.append_column("__h", pa.array(h, pa.string()))
+
+    ranked = ds.map_batches(rank, batch_format="pyarrow")
+    out = top_n_per_group(
+        ranked, [group_column], ["__h", id_column], n_per_group,
+        descending=False, num_buckets=num_buckets,
+    )
+    return out.drop_columns(["__h"])

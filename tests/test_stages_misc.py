@@ -303,3 +303,18 @@ def test_global_cumsum_and_packing(ray_session):
     assert np.array_equal(packed["seq_bin"].to_numpy(), expected_bins)
     # bins are contiguous from 0 and every doc is packed exactly once
     assert packed["seq_bin"].min() == 0 and len(packed) == 2000
+
+
+def test_stratified_sample_deterministic(ray_session):
+    import ray.data
+    from deepdoctection_ray.stages.text_stats import stratified_sample
+
+    rows = [{"doc_id": i, "source": f"s{i % 4}"} for i in range(400)]
+    a = stratified_sample(ray.data.from_items(rows), "source", n_per_group=5).to_pandas()
+    b = stratified_sample(ray.data.from_items(rows), "source", n_per_group=5).to_pandas()
+    assert a["source"].value_counts().eq(5).all() and len(a) == 20
+    assert set(map(tuple, a[["doc_id", "source"]].values)) == set(
+        map(tuple, b[["doc_id", "source"]].values)
+    )
+    c = stratified_sample(ray.data.from_items(rows), "source", n_per_group=5, salt="v2").to_pandas()
+    assert set(c["doc_id"]) != set(a["doc_id"])  # salted re-deal
