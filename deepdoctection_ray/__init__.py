@@ -25,7 +25,7 @@ the execution engine here is Ray Data (streaming blocks, actor pools,
 hash-partitioned shuffles), not the reference's single-record DataFlow.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def get_analyzer(config_overwrite=None):
