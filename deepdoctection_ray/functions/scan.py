@@ -42,6 +42,11 @@ def global_cumsum(
 
     extent = ds.aggregate(Min(order_column), Max(order_column))
     lo, hi = extent[f"min({order_column})"], extent[f"max({order_column})"]
+    if lo is None or hi is None:  # empty input: nothing to scan
+        return ds.map_batches(
+            lambda b: b.append_column(out_column, pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
     width = max(1, (int(hi) - int(lo) + num_ranges) // num_ranges)
 
     def tag(batch: pa.Table) -> pa.Table:
