@@ -329,3 +329,52 @@ def knn_ivf(
         ),
     )
     return partial.groupby("query_id").map_groups(_reduce_topk(k), batch_format="pyarrow")
+
+
+def quantize_embeddings(
+    ds: ray.data.Dataset,
+    embedding_column: str = "embedding",
+    out_column: str = "embedding_q",
+) -> ray.data.Dataset:
+    """Symmetric per-vector int8 quantization of an embedding column — the
+    4× storage/shuffle reducer for 100-TB embedding tables (e.g. before the
+    ANN index build; cosine against dequantized vectors degrades recall only
+    marginally — pinned in pytest). Each vector stores its own float32 scale
+    (max-abs / 127) + an int8 payload packed as ONE binary column, so the
+    quantized table survives shuffles and Acero joins (which reject list<>
+    payloads). Fully vectorized per batch."""
+
+    def q(batch: pa.Table) -> pa.Table:
+        m = embedding_matrix(batch[embedding_column], dtype=np.float64)
+        scale = np.abs(m).max(axis=1) / 127.0
+        scale[scale == 0] = 1.0
+        codes = np.clip(np.rint(m / scale[:, None]), -127, 127).astype(np.int8)
+        payloads = [
+            np.float32(s).tobytes() + c.tobytes() for s, c in zip(scale, codes)
+        ]
+        return batch.drop_columns([embedding_column]).append_column(
+            out_column, pa.array(payloads, pa.binary())
+        )
+
+    return ds.map_batches(q, batch_format="pyarrow")
+
+
+def dequantize_embeddings(
+    ds: ray.data.Dataset,
+    quant_column: str = "embedding_q",
+    out_column: str = "embedding",
+) -> ray.data.Dataset:
+    """Inverse of :func:`quantize_embeddings`: binary (scale ‖ int8 codes) →
+    ``list<float>`` column."""
+
+    def dq(batch: pa.Table) -> pa.Table:
+        vecs = []
+        for payload in batch[quant_column].to_pylist():
+            scale = np.frombuffer(payload[:4], np.float32)[0]
+            codes = np.frombuffer(payload[4:], np.int8).astype(np.float32)
+            vecs.append((codes * scale).tolist())
+        return batch.drop_columns([quant_column]).append_column(
+            out_column, pa.array(vecs, pa.list_(pa.float32()))
+        )
+
+    return ds.map_batches(dq, batch_format="pyarrow")

@@ -258,3 +258,29 @@ def test_dedup_segments_first_wins(ray_session):
     assert (1, 0) in got and (2, 0) not in got and (2, 1) in got
     assert (3, 0) in got and (4, 0) in got
     assert out[out["doc_id"] == 4]["seg"].iloc[0] == ""
+
+
+def test_quantize_roundtrip_and_recall(ray_session, clustered_embeddings):
+    from deepdoctection_ray.stages.similarity import (
+        dequantize_embeddings, knn_brute, quantize_embeddings,
+    )
+
+    ds = clustered_embeddings
+    rt = dequantize_embeddings(quantize_embeddings(ds)).to_pandas().sort_values("vec_id")
+    orig = ds.to_pandas().sort_values("vec_id")
+    a = np.stack(orig["embedding"].to_numpy())
+    b = np.stack(rt["embedding"].to_numpy())
+    # symmetric int8: error bounded by scale/2 = max|x|/254 per component
+    bound = (np.abs(a).max(axis=1) / 254.0)[:, None] + 1e-6
+    assert (np.abs(a - b) <= bound).all()
+
+    # kNN over dequantized vectors preserves high-margin neighbors
+    qids = [0, 1, 2]
+    exact = knn_brute(ds, query_ids=qids, k=5).to_pandas()
+    quant = knn_brute(
+        dequantize_embeddings(quantize_embeddings(ds)), query_ids=qids, k=5
+    ).to_pandas()
+    for qid in qids:
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        g = set(quant[quant["query_id"] == qid]["vec_id"])
+        assert len(e & g) >= 4  # ≥80% recall on clustered data
