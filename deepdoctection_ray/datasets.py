@@ -801,8 +801,11 @@ def tile_html_table(tokens: list[str]) -> list[dict]:
             rs = cs = 1
             if tok == ">":  # attributed cell: scan back to the opening <td
                 j = i - 1
-                while j >= 0 and not tokens[j].startswith("<td"):
-                    attr = tokens[j].replace('"', "")
+                while j >= 0 and not tokens[j].lstrip().startswith("<td"):
+                    # real PubTabNet/FinTabNet token streams carry the
+                    # attribute with a LEADING SPACE (' colspan="2"') — strip
+                    # before matching
+                    attr = tokens[j].strip().replace('"', "")
                     if attr.startswith("rowspan="):
                         rs = int(attr[8:])
                     elif attr.startswith("colspan="):

@@ -58,8 +58,13 @@ def bucketed_map_groups(
     schema-stable where possible.
     """
     key_cols = list(key_cols)
+    # batch_size=None: tag whole blocks — re-chunking into default 1024-row
+    # batches immediately before the groupby exchange fragments the shuffle
+    # input (the documented 8× extraction regression; CLAUDE.md invariant)
     tagged = ds.map_batches(
-        lambda b: tag_buckets(b, key_cols, num_buckets), batch_format="pyarrow"
+        lambda b: tag_buckets(b, key_cols, num_buckets),
+        batch_format="pyarrow",
+        batch_size=None,
     )
 
     if batch_format == "pyarrow":

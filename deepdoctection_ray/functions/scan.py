@@ -56,7 +56,7 @@ def global_cumsum(
         )
         return batch.append_column("__range", pc.cast(rng, pa.int64()))
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
 
     # pass 1: per-range totals → driver exclusive scan (≤ num_ranges rows)
     totals = {

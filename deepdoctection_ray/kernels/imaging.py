@@ -168,8 +168,9 @@ def resize_bilinear(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
         wy = wy[..., None]
         wx = wx[..., None]
     f = img.astype(np.float64)
-    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
-    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    fy0, fy1 = f[y0], f[y1]  # one row-gather per edge, reused for both columns
+    top = fy0[:, x0] * (1 - wx) + fy0[:, x1] * wx
+    bot = fy1[:, x0] * (1 - wx) + fy1[:, x1] * wx
     out = top * (1 - wy) + bot * wy
     if np.issubdtype(img.dtype, np.integer):
         return np.clip(np.rint(out), 0, 255).astype(img.dtype)

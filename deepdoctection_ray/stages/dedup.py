@@ -176,21 +176,33 @@ _TRUNC_ACTOR_NAME = "ddray_truncation_counter"
 class _TruncationCounter:
     """Job-wide tally of LSH buckets that hit ``max_bucket`` — the silent
     recall cap made loud. Zero-CPU named actor; workers report, the driver
-    reads via :func:`truncation_counts`."""
+    reads via :func:`truncation_counts`. The actor itself is detached (it
+    must outlive the transient map worker that first creates it), but every
+    tally is keyed by the Ray JOB id — on a persistent shared cluster a new
+    driver session starts from zero instead of inheriting prior runs'
+    counts."""
 
     def __init__(self) -> None:
         self._counts: dict = {}
 
-    def add(self, op: str, buckets: int, dropped_rows: int) -> None:
-        c = self._counts.setdefault(op, {"buckets": 0, "dropped_rows": 0})
+    def add(self, job_id: str, op: str, buckets: int, dropped_rows: int) -> None:
+        job = self._counts.setdefault(job_id, {})
+        c = job.setdefault(op, {"buckets": 0, "dropped_rows": 0})
         c["buckets"] += buckets
         c["dropped_rows"] += dropped_rows
 
-    def get(self) -> dict:
-        return {k: dict(v) for k, v in self._counts.items()}
+    def get(self, job_id: str) -> dict:
+        return {k: dict(v) for k, v in self._counts.get(job_id, {}).items()}
 
-    def reset(self) -> None:
-        self._counts = {}
+    def reset(self, job_id: str) -> None:
+        self._counts.pop(job_id, None)
+
+
+def _job_id() -> str:
+    try:
+        return ray.get_runtime_context().get_job_id()
+    except Exception:
+        return "local"
 
 
 def _report_truncation(op: str, buckets: int, dropped_rows: int) -> None:
@@ -211,24 +223,25 @@ def _report_truncation(op: str, buckets: int, dropped_rows: int) -> None:
         actor = _TruncationCounter.options(
             name=_TRUNC_ACTOR_NAME, get_if_exists=True, lifetime="detached"
         ).remote()
-        ray.get(actor.add.remote(op, buckets, dropped_rows))
+        ray.get(actor.add.remote(_job_id(), op, buckets, dropped_rows))
     except Exception:
         pass  # observability must never fail the pipeline
 
 
 def truncation_counts() -> dict:
     """Per-op ``{"buckets": n, "dropped_rows": m}`` for every dedup op whose
-    ``max_bucket`` cap dropped candidate pairs this session ({} if none)."""
+    ``max_bucket`` cap dropped candidate pairs in THIS driver session
+    (job-scoped; {} if none)."""
     try:
         actor = ray.get_actor(_TRUNC_ACTOR_NAME)
     except ValueError:
         return {}
-    return ray.get(actor.get.remote())
+    return ray.get(actor.get.remote(_job_id()))
 
 
 def reset_truncation_counts() -> None:
     try:
-        ray.get(ray.get_actor(_TRUNC_ACTOR_NAME).reset.remote())
+        ray.get(ray.get_actor(_TRUNC_ACTOR_NAME).reset.remote(_job_id()))
     except ValueError:
         pass
 
@@ -247,6 +260,12 @@ def _grouped_collisions(
     group count) and ``emit_bucket`` receives a whole bucket as ONE pandas
     frame: grouping within it is a vectorized pandas groupby, and per-group
     work runs only for keys that actually collide.
+
+    Kept separate from the generic ``functions.bucketed.bucketed_map_groups``
+    on purpose: LSH keys are (int32 band, int64 band_key) pairs, and the
+    multiply-xor mix below is measurably cheaper than the generic
+    ``hash_pandas_object`` row hash on the per-band exploded volume (rows ×
+    bands). Any partitioning-semantics change must be applied to BOTH.
     """
     import pandas as pd
 
@@ -277,32 +296,23 @@ def _grouped_collisions(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
-        ds.map_batches(tag, batch_format="pandas")
+        ds.map_batches(tag, batch_format="pandas", batch_size=None)
         .groupby("__bucket")
         .map_groups(emit_arrow, batch_format="pandas")
     )
 
 
 def _dedup_pair_rows(pairs: ray.data.Dataset, num_buckets: int = 32) -> ray.data.Dataset:
-    """Global (id_a, id_b) dedup, co-partitioned by hash(id_a) — same pair
-    always lands in one bucket, ONE drop_duplicates per bucket."""
-    import pandas as pd
+    """Global (id_a, id_b) dedup on the generic bucketed pattern — same pair
+    always lands in one bucket (keyed by id_a), ONE drop_duplicates per
+    bucket."""
+    from ..functions.bucketed import bucketed_map_groups
 
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__bucket"] = (
-            pd.util.hash_array(df["id_a"].to_numpy()) % np.uint64(num_buckets)
-        ).astype(np.int64)
-        return df
+    def dedup(g):
+        return g.drop_duplicates(["id_a", "id_b"], keep="first")
 
-    def dedup(g: pd.DataFrame):
-        out = g.drop_duplicates(["id_a", "id_b"], keep="first").drop(columns="__bucket")
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    return (
-        pairs.map_batches(tag, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(dedup, batch_format="pandas")
+    return bucketed_map_groups(
+        pairs, ["id_a"], dedup, num_buckets, batch_format="pandas"
     )
 
 

@@ -444,3 +444,22 @@ def test_fintabnet_like_table_crop(ray_session, fintabnet_dir):
     h1 = row["annotations"][0]
     # translated into the table frame: (60-50, 112-100)
     assert (h1["x0"], h1["top"]) == (10.0, 12.0)
+
+
+def test_tile_html_table_real_token_vocabulary():
+    """PubTabNet/FinTabNet emit attribute tokens with a LEADING SPACE
+    (' colspan=\"2\"') — the tiler must parse that shape, not only the
+    space-less test vocabulary."""
+    from deepdoctection_ray.datasets import tile_html_table
+
+    tokens = [
+        "<thead>", "<tr>", "<td", ' colspan="2"', ">", "<td>", "</tr>", "</thead>",
+        "<tbody>", "<tr>", "<td", ' rowspan="2"', ">", "<td>", "<td>", "</tr>",
+        "<tr>", "<td>", "<td>", "</tr>", "</tbody>",
+    ]
+    cells = tile_html_table(tokens)
+    assert [(c["row_number"], c["column_number"], c["row_span"], c["column_span"]) for c in cells] == [
+        (1, 1, 1, 2), (1, 3, 1, 1),
+        (2, 1, 2, 1), (2, 2, 1, 1), (2, 3, 1, 1),
+        (3, 2, 1, 1), (3, 3, 1, 1),
+    ]
