@@ -996,6 +996,34 @@ SELECT doc_id, seg_idx, seg FROM (
 """
 
 
+def q_doc_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style intra-doc repetition: fraction of word-3-gram occurrences
+    that repeat an earlier gram of the same doc."""
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda b: ts.repetition_stats(b, "text"), batch_format="pyarrow"
+    )
+
+
+Q_DOC_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+         END AS grams
+  FROM toks
+)
+SELECT doc_id,
+       round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6) AS dup_ngram_frac
+FROM sh
+"""
+
+
 def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
     """Deterministic stratified sample: 5 docs per source, chosen by smallest
     md5(doc_id) — a pure function of the ids, so the SQL window reproduces it
@@ -1683,6 +1711,7 @@ def build_queries() -> dict:
         "q_decontaminate": q_decontaminate,
         "q_segment_dedup": q_segment_dedup,
         "q_stratified_sample": q_stratified_sample,
+        "q_doc_repetition": q_doc_repetition,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embedding": q_dedup_embedding,
         "q_knn_cosine": q_knn_cosine,
@@ -1743,6 +1772,7 @@ def build_oracle_sql() -> dict:
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_segment_dedup": Q_SEGMENT_DEDUP_SQL,
         "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
+        "q_doc_repetition": Q_DOC_REPETITION_SQL,
         "q_dedup_embedding": Q_DEDUP_EMBEDDING_SQL,
         "q_extract_transcripts": Q_EXTRACT_TRANSCRIPTS_SQL,
         "q_extract_layout": Q_EXTRACT_LAYOUT_SQL,

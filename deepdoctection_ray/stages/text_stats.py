@@ -335,3 +335,24 @@ def stratified_sample(
         descending=False, num_buckets=num_buckets,
     )
     return out.drop_columns(["__h"])
+
+
+def repetition_stats(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Intra-document repetition signal (the Gopher-rules duplicate-n-gram
+    family, Rae et al. 2021 — public literature): fraction of word 3-gram
+    occurrences that are repeats of an earlier gram in the SAME doc.
+    ``dup_ngram_frac = 1 - distinct/total`` (0.0 for docs with <3 tokens —
+    one whole-text gram, never a repeat). Stateless, one pass per batch."""
+    ids_out = []
+    fracs = []
+    for t in batch[text_column].to_pylist():
+        grams = _word_ngrams(t or "", 3)
+        total = len(grams)
+        distinct = len(set(grams))
+        fracs.append(round(1.0 - distinct / total, 6) if total else 0.0)
+    return pa.table(
+        {
+            **{n: batch[n] for n in batch.column_names if n != text_column},
+            "dup_ngram_frac": pa.array(fracs, pa.float64()),
+        }
+    )

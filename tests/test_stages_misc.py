@@ -318,3 +318,23 @@ def test_stratified_sample_deterministic(ray_session):
     )
     c = stratified_sample(ray.data.from_items(rows), "source", n_per_group=5, salt="v2").to_pandas()
     assert set(c["doc_id"]) != set(a["doc_id"])  # salted re-deal
+
+
+def test_repetition_stats():
+    import pyarrow as pa
+    from deepdoctection_ray.stages.text_stats import repetition_stats
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c a b c a b c",   # 7 grams, 3 distinct -> 4/7 repeats
+                    "all distinct words here now",
+                    "hi",                   # <3 tokens: single gram, frac 0
+                ]
+            ),
+        }
+    )
+    out = repetition_stats(batch).to_pandas()
+    assert out["dup_ngram_frac"].tolist() == [round(1 - 3 / 7, 6), 0.0, 0.0]
