@@ -201,7 +201,9 @@ def top_n_per_group(
 
     def local_topn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(order_cols, ascending=asc, kind="stable")
-        return df.groupby(group_cols, sort=False).head(n)
+        # dropna=False: ROW_NUMBER() PARTITION BY treats null keys as one
+        # partition; pandas' default would silently drop those rows
+        return df.groupby(group_cols, sort=False, dropna=False).head(n)
 
     partial = ds.map_batches(local_topn, batch_format="pandas")
     return bucketed_map_groups(

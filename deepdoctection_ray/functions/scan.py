@@ -35,21 +35,40 @@ def global_cumsum(
     num_ranges: int = 64,
 ) -> ray.data.Dataset:
     """Exact inclusive prefix sum of ``value_column`` in ``order_column``
-    order (int64 keys, unique per row). Output: input columns + ``out_column``.
+    order (int64 keys, unique per row, non-null — nulls raise). Output: input
+    columns + ``out_column``.
+
+    The input executes ONCE: the scan needs three downstream consumers
+    (extent, per-range totals, the final per-range cumsum), so ``ds``
+    materializes to object-store blocks up front instead of re-running its
+    upstream pipeline per consumer (the diamond-recompute pitfall). Callers
+    should project to the minimal columns first — the materialized footprint
+    is (key, value, carried columns), spillable.
     """
+    ds = ds.materialize()
+
     # pass 0: key extent (two scalars on the driver — never the data)
     from ray.data.aggregate import Max, Min
 
     extent = ds.aggregate(Min(order_column), Max(order_column))
     lo, hi = extent[f"min({order_column})"], extent[f"max({order_column})"]
-    if lo is None or hi is None:  # empty input: nothing to scan
-        return ds.map_batches(
-            lambda b: b.append_column(out_column, pa.array([], pa.int64())),
-            batch_format="pyarrow",
+    if lo is None or hi is None:
+        # zero rows (or an all-null key column, equally unscannable): return
+        # an empty dataset that still carries the output schema
+        base = ds.schema()
+        empty = pa.table(
+            {
+                **{n: pa.array([], t) for n, t in zip(base.names, base.types)},
+                out_column: pa.array([], pa.int64()),
+            }
         )
+        return ray.data.from_arrow(empty)
+
     width = max(1, (int(hi) - int(lo) + num_ranges) // num_ranges)
 
     def tag(batch: pa.Table) -> pa.Table:
+        if batch[order_column].null_count:
+            raise ValueError(f"global_cumsum: null {order_column!r} keys are not orderable")
         rng = pc.divide(
             pc.subtract(batch[order_column], pa.scalar(int(lo), batch[order_column].type)),
             pa.scalar(width, pa.int64()),

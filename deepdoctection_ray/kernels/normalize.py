@@ -29,3 +29,16 @@ def tokenize_plain(text: str) -> list[str]:
 def normalize_plain(text: str) -> str:
     """Collapse all whitespace runs to single spaces and trim."""
     return " ".join(text.split())
+
+
+def word_ngrams(text: str, k: int = 3) -> list[str]:
+    """Word k-grams with the short-doc fallback shared by EVERY gram-based
+    operator (minhash/jaccard shingles, top-k n-grams, repetition signal,
+    decontamination) and their DuckDB oracles: fewer than ``k`` tokens →
+    the whole text as ONE gram; empty text → one empty gram. There is one
+    definition on purpose — the hashed (dedup) and string (stats) gram
+    families must stay semantically identical or their oracles diverge."""
+    toks = text.split()
+    if len(toks) < k:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]

@@ -90,13 +90,12 @@ def _hash_params(num_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of word k-shingles (uint64); falls back to whole-text hash for
-    short docs so every doc has a signature."""
-    toks = text.split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    """Hashes of word k-shingles (uint64) — ``stable_int`` over the ONE
+    canonical gram definition (``kernels.normalize.word_ngrams``, shared with
+    the string-gram operators so the oracle families stay consistent)."""
+    from ..kernels.normalize import word_ngrams
+
+    grams = word_ngrams(text, k)
     return np.fromiter(
         (stable_int(g) for g in grams), dtype=np.uint64, count=len(grams)
     )
@@ -234,15 +233,18 @@ def truncation_counts() -> dict:
     (job-scoped; {} if none)."""
     try:
         actor = ray.get_actor(_TRUNC_ACTOR_NAME)
-    except ValueError:
+        return ray.get(actor.get.remote(_job_id()))
+    except Exception:
+        # no actor yet, or a stale pre-upgrade detached actor with the old
+        # method signature survived on a persistent cluster — observability
+        # reads must never raise
         return {}
-    return ray.get(actor.get.remote(_job_id()))
 
 
 def reset_truncation_counts() -> None:
     try:
         ray.get(ray.get_actor(_TRUNC_ACTOR_NAME).reset.remote(_job_id()))
-    except ValueError:
+    except Exception:
         pass
 
 

@@ -135,12 +135,10 @@ class LanguageId:
 
 
 def _word_ngrams(text: str, n: int = 3) -> list[str]:
-    """Word n-grams with the short-doc fallback the shingle/oracle SQL pair
-    uses (< n tokens → the whole text as one gram; empty → one empty gram)."""
-    toks = text.split()
-    if len(toks) < n:
-        return [" ".join(toks)]
-    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    """Canonical gram definition — see ``kernels.normalize.word_ngrams``."""
+    from ..kernels.normalize import word_ngrams
+
+    return word_ngrams(text, n)
 
 
 def top_ngrams(

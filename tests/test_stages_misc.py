@@ -338,3 +338,24 @@ def test_repetition_stats():
     )
     out = repetition_stats(batch).to_pandas()
     assert out["dup_ngram_frac"].tolist() == [round(1 - 3 / 7, 6), 0.0, 0.0]
+
+
+def test_global_cumsum_empty_and_topn_null_keys(ray_session):
+    import pandas as pd
+    import ray.data
+    from deepdoctection_ray.functions.aggregates import top_n_per_group
+    from deepdoctection_ray.functions.scan import global_cumsum
+
+    empty = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+    )
+    out = global_cumsum(empty, "k", "n")
+    assert out.count() == 0 and "cumsum" in out.schema().names
+
+    # null group keys form their own partition (ROW_NUMBER semantics), not
+    # silently dropped
+    df = pd.DataFrame({"g": [1.0, 1.0, None, None, None], "v": [5, 3, 9, 7, 1], "id": [0, 1, 2, 3, 4]})
+    got = top_n_per_group(ray.data.from_pandas(df), ["g"], ["v", "id"], n=2, num_buckets=4).to_pandas()
+    assert len(got) == 4  # 2 from g=1.0 + 2 from the null partition
+    nulls = got[got["g"].isna()]
+    assert sorted(nulls["v"]) == [7, 9]
