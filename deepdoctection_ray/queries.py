@@ -1043,8 +1043,55 @@ SELECT doc_id, source FROM (
 
 
 def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
+    """SimHash near-dup pairs at Hamming ≤ 8: pigeonhole banding makes recall
+    1.0 by construction, so the banded engine must EQUAL the brute-force SQL
+    oracle (which rebuilds the md5-derived 64-bit SimHash bit-for-bit in
+    DuckDB and compares all pairs by bit_count(xor))."""
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    return dd.dedup_simhash(docs, "text", "doc_id", max_hamming=8)
+    # max_bucket high enough that no gate-scale band bucket truncates —
+    # equality with the brute-force oracle requires recall exactly 1.0
+    # (truncation stays on, reported via truncation_counts, for real corpora)
+    return dd.dedup_simhash(docs, "text", "doc_id", max_hamming=8, max_bucket=100_000)
+
+
+Q_DEDUP_SIMHASH_SQL = r"""
+-- brute-force SimHash ground truth: token hash = md5-derived 63+1 bits
+-- exactly as kernels build it (stable_int(tok) | stable_int('~'||tok,1)<<63),
+-- per-bit majority vote, pairs by bit_count(xor) <= 8. The banded engine's
+-- pigeonhole guarantee (bands > max_hamming) makes this an equality check.
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(tok), 1, 16))::UBIGINT >> 1)
+         | (CASE WHEN (('0x' || substr(md5('~' || tok), 1, 16))::UBIGINT >> 63) = 1
+                 THEN 9223372036854775808::UBIGINT ELSE 0::UBIGINT END) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+  GROUP BY doc_id, i
+),
+sims0 AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 AND i < 32 THEN (1::BIGINT << i) ELSE 0 END) AS lo,
+         sum(CASE WHEN vote > 0 AND i >= 32 THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS hi
+  FROM bits GROUP BY doc_id
+),
+sims AS (
+  SELECT d.doc_id,
+         coalesce((s.hi::HUGEINT * 4294967296 + s.lo::HUGEINT)::UBIGINT, 0::UBIGINT) AS sim
+  FROM documents d LEFT JOIN sims0 s ON d.doc_id = s.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sim, b.sim))::INTEGER AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 8
+"""
 
 
 def q_dedup_embedding(sf_dir: str) -> ray.data.Dataset:
@@ -1765,6 +1812,7 @@ def build_oracle_sql() -> dict:
         "q_rolling_fingerprint": Q_ROLLING_FP_SQL,
         "q_dedup_minhash": Q_DEDUP_MINHASH_SQL,
         "q_dedup_jaccard": Q_DEDUP_JACCARD_SQL,
+        "q_dedup_simhash": Q_DEDUP_SIMHASH_SQL,
         "q_top_ngrams": Q_TOP_NGRAMS_SQL,
         "q_split_by_hash": Q_SPLIT_BY_HASH_SQL,
         "q_pack_sequences": Q_PACK_SEQUENCES_SQL,
