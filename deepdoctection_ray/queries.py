@@ -429,6 +429,43 @@ def q_approx_distinct_users(sf_dir: str) -> ray.data.Dataset:
     return approx_distinct(ev, "user_id", by="event_type")
 
 
+Q_APPROX_DISTINCT_SQL = r"""
+-- the HLL sketch is a deterministic function of the value SET (md5-derived
+-- 63-bit hashes, order-independent register maxima), so DuckDB can rebuild
+-- the registers and the Flajolet estimate bit-for-bit: p=12, idx = top 12
+-- bits, rank = leading zeros of the low 51 bits + 1, harmonic-mean estimate
+-- with the small-range (linear counting) correction exactly as the kernel
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(cast(user_id AS varchar)), 1, 16))::UBIGINT >> 1 AS hash
+  FROM events
+),
+hb AS (
+  SELECT DISTINCT event_type, (hash >> 51)::BIGINT AS idx,
+         (hash & ((1::UBIGINT << 51) - 1))::BIGINT AS rest
+  FROM h
+),
+ranks AS (
+  SELECT event_type, idx,
+         max(CASE WHEN rest = 0 THEN 52 ELSE 51 - floor(log2(rest))::BIGINT END) AS m
+  FROM hb GROUP BY event_type, idx
+),
+agg AS (
+  SELECT event_type, sum(pow(2.0, -m)) AS present_sum, count(*) AS n_present
+  FROM ranks GROUP BY event_type
+)
+SELECT event_type,
+       CASE WHEN (0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096
+                 / (present_sum + (4096 - n_present) * 1.0) <= 2.5 * 4096
+                 AND n_present < 4096
+            THEN round(4096 * ln(4096.0 / (4096 - n_present)))::BIGINT
+            ELSE round((0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096
+                 / (present_sum + (4096 - n_present) * 1.0))::BIGINT
+       END AS approx_distinct
+FROM agg
+"""
+
+
 def q_events_hourly(sf_dir: str) -> ray.data.Dataset:
     """Tumbling one-hour window counts per event type."""
     ev = _t(sf_dir, "events", columns=["ts", "event_type"])
@@ -1813,6 +1850,7 @@ def build_oracle_sql() -> dict:
         "q_dedup_minhash": Q_DEDUP_MINHASH_SQL,
         "q_dedup_jaccard": Q_DEDUP_JACCARD_SQL,
         "q_dedup_simhash": Q_DEDUP_SIMHASH_SQL,
+        "q_approx_distinct_users": Q_APPROX_DISTINCT_SQL,
         "q_top_ngrams": Q_TOP_NGRAMS_SQL,
         "q_split_by_hash": Q_SPLIT_BY_HASH_SQL,
         "q_pack_sequences": Q_PACK_SEQUENCES_SQL,
