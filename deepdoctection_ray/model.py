@@ -172,3 +172,100 @@ def _register_builtin_profiles() -> None:
 
 
 _register_builtin_profiles()
+
+
+class ReplayDetector:
+    """Offline-inference replay adapter — the ``ObjectDetector`` interface
+    (``extern/base.py:359``: ``predict``, ``clone``, ``get_category_names``,
+    ``accepts_batch``) backed by a table of PRECOMPUTED detections keyed by
+    image id, instead of live weights (none exist in this environment).
+
+    This is the shape heavyweight detectors take at 100 TB anyway: model
+    inference runs once as its own batch job, outputs land in a detections
+    table, and the extraction pipeline JOINS them back in (see
+    :func:`attach_detections`) rather than re-running the model per pass.
+    ``DetectionResult`` rows are ``{category, x0, top, x1, bottom, score}`` —
+    the detector-output shape every layout consumer here accepts."""
+
+    accepts_batch = False
+
+    def __init__(self, detections_by_id: dict, categories: list[str] | None = None) -> None:
+        self._det = detections_by_id
+        self._categories = list(categories) if categories else sorted(
+            {d["category"] for ds in detections_by_id.values() for d in ds}
+        )
+
+    def predict(self, np_image=None, image_id=None) -> list[dict]:
+        """Detections for ``image_id`` (the pixel argument is accepted for
+        interface parity; replay keys on identity, not pixels)."""
+        if image_id is None:
+            raise ValueError("ReplayDetector.predict requires image_id")
+        return [dict(d) for d in self._det.get(image_id, [])]
+
+    def get_category_names(self) -> list[str]:
+        return list(self._categories)
+
+    def clone(self) -> "ReplayDetector":
+        """Per-worker copy — the reference's ``clone() ≡ __init__`` actor
+        contract (``extern/base.py:253``)."""
+        return ReplayDetector(self._det, self._categories)
+
+
+def attach_detections(
+    ds,
+    detections,
+    id_column: str = "doc_id",
+    payload_column: str = "payload",
+    num_buckets: int = 8,
+):
+    """Join precomputed detector output onto payload rows at scale — the
+    distributed form of ``ImageLayoutService.serve`` when the detector ran
+    offline: detections (``(id, category, x0, top, x1, bottom, score)`` rows)
+    pack per id as a JSON block list (Acero joins reject list<struct>
+    payloads — packed as a string column), hash-join onto the corpus, and
+    merge into each payload's ``blocks`` so the standard ``extract_layout``
+    path consumes them like live detector output."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from .functions.bucketed import bucketed_map_groups
+    from .functions.joins import drop_empty_blocks, hash_join
+
+    def pack(g):
+        import pandas as pd
+
+        recs = (
+            g.sort_values([id_column, "x0", "top"], kind="stable")
+            .groupby(id_column, sort=False)
+            .apply(
+                lambda sub: _json.dumps(
+                    sub[["category", "x0", "top", "x1", "bottom", "score"]].to_dict("records")
+                ),
+                include_groups=False,
+            )
+            .reset_index(name="__blocks_json")
+        )
+        return recs
+
+    packed = drop_empty_blocks(
+        bucketed_map_groups(detections, [id_column], pack, num_buckets, batch_format="pandas")
+    )
+    joined = hash_join(ds, packed, id_column, ["__blocks_json"], how="left")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        payloads = batch[payload_column].to_pylist()
+        extra = batch["__blocks_json"].to_pylist()
+        out = []
+        for p, e in zip(payloads, extra):
+            if not e:
+                out.append(p)
+                continue
+            doc = _json.loads(p or "{}")
+            doc["blocks"] = (doc.get("blocks") or []) + _json.loads(e)
+            out.append(_json.dumps(doc))
+        return batch.drop_columns(["__blocks_json", payload_column]).append_column(
+            payload_column, pa.array(out, pa.string())
+        )
+
+    return joined.map_batches(merge, batch_format="pyarrow")

@@ -36,12 +36,41 @@ class Span:
 class Page:
     """Typed accessor over one extraction-output row."""
 
+    # ``Page.add_attribute_name`` analog (``view.py:1674-1696``): user-defined
+    # derived attributes, registered once per process, resolved on attribute
+    # access. In the flat-row world every output COLUMN is already an
+    # attribute (``page.get(col)``); this registry covers COMPUTED views.
+    _custom_attributes: dict[str, Any] = {}
+
     def __init__(self, row: dict[str, Any]) -> None:
         self._row = row
 
     @classmethod
     def from_row(cls, row: dict[str, Any]) -> "Page":
         return cls(row)
+
+    @classmethod
+    def add_attribute_name(cls, name: str, fn) -> None:
+        """Register a derived attribute: ``fn(page) -> value``, exposed as
+        ``page.<name>``. Raises on collision with a built-in accessor."""
+        if hasattr(cls, name):
+            raise ValueError(f"attribute {name!r} already exists on Page")
+        cls._custom_attributes[name] = fn
+
+    @classmethod
+    def remove_attribute_name(cls, name: str) -> None:
+        cls._custom_attributes.pop(name, None)
+
+    def get(self, column: str, default: Any = None) -> Any:
+        """Raw column access — every output column is a Page attribute."""
+        return self._row.get(column, default)
+
+    def __getattr__(self, name: str) -> Any:
+        # only called when normal lookup fails; resolve registered attributes
+        fns = type(self)._custom_attributes
+        if name in fns:
+            return fns[name](self)
+        raise AttributeError(name)
 
     # ------------------------------------------------------------ identity
 

@@ -96,3 +96,49 @@ def test_document_container_roundtrip(ray_session):
     assert list(out["file_name"]) == ["a.pdf", "b.pdf"]
     assert list(out["n_pages"]) == [2, 1]
     assert Document.from_json(out.iloc[0]["document_json"]).text == "page one\n\npage two"
+
+
+def test_replay_detector_interface():
+    from deepdoctection_ray.model import ReplayDetector
+
+    det = ReplayDetector(
+        {"p1": [{"category": "table", "x0": 1.0, "top": 2.0, "x1": 9.0, "bottom": 8.0, "score": 0.9}]}
+    )
+    out = det.predict(image_id="p1")
+    assert out[0]["category"] == "table" and det.predict(image_id="missing") == []
+    assert det.get_category_names() == ["table"]
+    clone = det.clone()
+    assert clone.predict(image_id="p1") == out  # clone() ≡ __init__ contract
+    import pytest
+
+    with pytest.raises(ValueError, match="image_id"):
+        det.predict()
+
+
+def test_attach_detections_join(ray_session):
+    import json
+
+    import ray.data
+    from deepdoctection_ray.model import attach_detections
+
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "payload": json.dumps({"page": {"width": 100, "height": 100}, "blocks": []})},
+            {"doc_id": 2, "payload": json.dumps({"page": {"width": 100, "height": 100},
+                                                 "blocks": [{"category": "text", "x0": 0, "top": 0, "x1": 5, "bottom": 5}]})},
+            {"doc_id": 3, "payload": json.dumps({"blocks": []})},  # no detections: untouched
+        ]
+    )
+    detections = ray.data.from_items(
+        [
+            {"doc_id": 1, "category": "table", "x0": 10.0, "top": 10.0, "x1": 90.0, "bottom": 50.0, "score": 0.8},
+            {"doc_id": 1, "category": "figure", "x0": 5.0, "top": 60.0, "x1": 50.0, "bottom": 90.0, "score": 0.7},
+            {"doc_id": 2, "category": "table", "x0": 20.0, "top": 20.0, "x1": 80.0, "bottom": 80.0, "score": 0.9},
+        ]
+    )
+    out = attach_detections(docs, detections, num_buckets=4).to_pandas()
+    rows = {r.doc_id: json.loads(r.payload) for r in out.itertuples()}
+    assert {b["category"] for b in rows[1]["blocks"]} == {"table", "figure"}
+    cats2 = [b["category"] for b in rows[2]["blocks"]]
+    assert cats2[0] == "text" and "table" in cats2  # existing blocks kept, detections appended
+    assert rows[3]["blocks"] == []

@@ -55,3 +55,25 @@ def test_page_identity_mapping(extracted_rows):
     assert page.document_id  # conv_id fallback
     assert page.page_number is not None  # turn_idx fallback
     assert page.error is None
+
+
+def test_page_add_attribute_name():
+    """view.py:1674-1696 analog: user-registered derived attributes."""
+    import pytest
+
+    from deepdoctection_ray.view import Page
+
+    Page.add_attribute_name("n_words", lambda p: len(p.words()))
+    try:
+        p = Page({"extracted_text": "hello world", "spans": [
+            {"start": 0, "end": 5, "block_idx": 0, "category": "text", "reading_order": 1},
+            {"start": 6, "end": 11, "block_idx": 0, "category": "text", "reading_order": 2},
+        ], "blocks": [{"category": "text", "reading_order": 1, "n_words": 2}]})
+        assert p.n_words == 2
+        assert p.get("extracted_text") == "hello world"
+        with pytest.raises(ValueError, match="already exists"):
+            Page.add_attribute_name("text", lambda p: None)
+        with pytest.raises(AttributeError):
+            _ = p.not_registered
+    finally:
+        Page.remove_attribute_name("n_words")
