@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -208,4 +209,115 @@ def top_n_per_group(
     partial = ds.map_batches(local_topn, batch_format="pandas")
     return bucketed_map_groups(
         partial, group_cols, local_topn, num_buckets, batch_format="pandas"
+    )
+
+
+def exact_quantiles(
+    ds: "ray.data.Dataset",
+    column: str,
+    qs: "Sequence[float]",
+    num_bins: int = 2048,
+    candidate_budget: int = 2_000_000,
+    max_rounds: int = 4,
+) -> "pa.Table":
+    """EXACT distributed quantiles (discrete: the k-th smallest element,
+    ``k = ceil(q·n) - 1`` — DuckDB's ``quantile_disc`` rule) without a global
+    sort: iterative histogram selection. Each round one streaming pass
+    histograms the unresolved value ranges (``num_bins`` int64 counts per
+    range reach the driver — never the data); the bin containing each k
+    becomes the next round's range. When a target bin's population fits
+    ``candidate_budget`` (or the range is degenerate — heavy ties), ONE
+    filtered collect pulls just that sliver and picks the element exactly.
+
+    vs ``ds.sort(column)``: a full sort shuffles every row to order ALL of
+    them; selection needs only counts plus an O(n/num_bins^rounds) sliver.
+    Returns a small ``pa.Table (q, value)`` — driver-sized by construction.
+    """
+    import math
+
+    from ray.data.aggregate import Count, Max, Min
+
+    qs = list(qs)
+    stats = ds.aggregate(Count(), Min(column), Max(column))
+    n = stats["count()"]
+    lo0, hi0 = stats[f"min({column})"], stats[f"max({column})"]
+    if not n:
+        return pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array([None] * len(qs), pa.float64())})
+
+    ks = {q: max(0, math.ceil(q * n) - 1) for q in qs}
+    # per distinct k: (range_lo, range_hi_inclusive, n_below_range_lo)
+    state: dict[int, tuple[float, float, int]] = {k: (float(lo0), float(hi0), 0) for k in set(ks.values())}
+    resolved: dict[int, float] = {}
+
+    def _histogram_pass(ranges: list[tuple[float, float]]):
+        """One streaming pass: per range, (n_below_lo, bin counts)."""
+
+        def hist(batch: pa.Table) -> pa.Table:
+            v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+            payloads = []
+            for rlo, rhi in ranges:
+                below = int((v < rlo).sum())
+                counts, _ = np.histogram(v, bins=num_bins, range=(rlo, rhi))
+                payloads.append(
+                    np.concatenate([[below], counts]).astype(np.int64).tobytes()
+                )
+            return pa.table({"h": pa.array([b"".join(payloads)], pa.binary())})
+
+        acc = np.zeros((len(ranges), num_bins + 1), dtype=np.int64)
+        for row in ds.map_batches(hist, batch_format="pyarrow", batch_size=None).take_all():
+            acc += np.frombuffer(row["h"], dtype=np.int64).reshape(len(ranges), num_bins + 1)
+        return acc
+
+    for _ in range(max_rounds):
+        pending = {k: s for k, s in state.items() if k not in resolved}
+        if not pending:
+            break
+        ranges = sorted({(s[0], s[1]) for s in pending.values()})
+        acc = _histogram_pass(ranges)
+        ridx = {r: i for i, r in enumerate(ranges)}
+        for k, (rlo, rhi, _offset) in pending.items():
+            row = acc[ridx[(rlo, rhi)]]
+            # `below` is measured against the FULL dataset every pass, so the
+            # offset is recomputed each round, never accumulated
+            below, counts = int(row[0]), row[1:]
+            j = k - below  # index within [rlo, rhi]
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, j, side="right"))
+            edges = np.linspace(rlo, rhi, num_bins + 1)
+            new_lo = float(edges[b])
+            new_hi = float(edges[b + 1]) if b < num_bins - 1 else rhi
+            new_offset = below + (int(cum[b - 1]) if b else 0)
+            if int(counts[b]) <= max(1, candidate_budget // max(1, len(pending))) or new_lo == new_hi:
+                state[k] = (new_lo, new_hi, new_offset)
+                resolved[k] = -1.0  # marked collectible; value filled below
+            else:
+                state[k] = (new_lo, new_hi, new_offset)
+        # loop again only for still-too-heavy bins
+
+    # final collect: union of slivers, one filtered pass
+    values: dict[int, float] = {}
+    slivers = sorted({(state[k][0], state[k][1]) for k in state})
+
+    def collect(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = np.zeros(v.shape[0], dtype=bool)
+        for rlo, rhi in slivers:
+            keep |= (v >= rlo) & (v <= rhi)
+        return pa.table({"v": pa.array(v[keep], pa.float64())})
+
+    cand = np.sort(
+        np.array(
+            [r["v"] for r in ds.map_batches(collect, batch_format="pyarrow").take_all()],
+            dtype=np.float64,
+        )
+    )
+    for k, (rlo, rhi, offset) in state.items():
+        inside = cand[(cand >= rlo) & (cand <= rhi)]
+        values[k] = float(inside[k - offset])
+
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.array([values[ks[q]] for q in qs], pa.float64()),
+        }
     )

@@ -915,6 +915,23 @@ SELECT doc_id, n_tokens, (p // 2048)::BIGINT AS seq_bin FROM c
 """
 
 
+def q_value_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT distributed quantiles of events.value (discrete k-th element,
+    DuckDB's quantile_disc rule) via iterative histogram selection — counts
+    cross the exchange, never the data; one sliver-sized collect at the end."""
+    from .functions.aggregates import exact_quantiles
+
+    ev = _t(sf_dir, "events", columns=["value"])
+    return exact_quantiles(ev, "value", [0.25, 0.5, 0.9, 0.99])
+
+
+Q_VALUE_QUANTILES_SQL = """
+SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS q,
+       unnest(quantile_disc(value, [0.25, 0.5, 0.9, 0.99])) AS value
+FROM events
+"""
+
+
 def q_top_events_per_user(sf_dir: str) -> ray.data.Dataset:
     """Limit-per-key (`ROW_NUMBER() <= 3`): the 3 most recent events of every
     user — per-batch lossless local top-n combiner, then ONE bucketed
@@ -1792,6 +1809,7 @@ def build_queries() -> dict:
         "q_split_by_hash": q_split_by_hash,
         "q_pack_sequences": q_pack_sequences,
         "q_top_events_per_user": q_top_events_per_user,
+        "q_value_quantiles": q_value_quantiles,
         "q_decontaminate": q_decontaminate,
         "q_segment_dedup": q_segment_dedup,
         "q_stratified_sample": q_stratified_sample,
@@ -1855,6 +1873,7 @@ def build_oracle_sql() -> dict:
         "q_split_by_hash": Q_SPLIT_BY_HASH_SQL,
         "q_pack_sequences": Q_PACK_SEQUENCES_SQL,
         "q_top_events_per_user": Q_TOP_EVENTS_PER_USER_SQL,
+        "q_value_quantiles": Q_VALUE_QUANTILES_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_segment_dedup": Q_SEGMENT_DEDUP_SQL,
         "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,

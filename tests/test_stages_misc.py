@@ -359,3 +359,23 @@ def test_global_cumsum_empty_and_topn_null_keys(ray_session):
     assert len(got) == 4  # 2 from g=1.0 + 2 from the null partition
     nulls = got[got["g"].isna()]
     assert sorted(nulls["v"]) == [7, 9]
+
+
+def test_exact_quantiles_vs_numpy(ray_session):
+    import math
+
+    import numpy as np
+    import ray.data
+    from deepdoctection_ray.functions.aggregates import exact_quantiles
+
+    rng = np.random.RandomState(7)
+    # heavy tie block straddling the median exercises the degenerate-bin path
+    vals = np.concatenate([rng.uniform(0, 100, 8000), np.full(3000, 55.5)])
+    ds = ray.data.from_items([{"x": float(v)} for v in vals])
+    out = exact_quantiles(
+        ds, "x", [0.0, 0.25, 0.5, 0.9, 1.0], num_bins=128, candidate_budget=1000
+    ).to_pandas()
+    s = np.sort(vals)
+    for q, v in zip(out["q"], out["value"]):
+        k = max(0, math.ceil(q * len(s)) - 1)
+        assert v == s[k], (q, v, s[k])
