@@ -218,3 +218,59 @@ def semi_join(ds: ray.data.Dataset, keys, key_column: str, anti: bool = False) -
         return batch.filter(mask)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_column: str,
+    ts_column: str,
+    start_column: str,
+    end_column: str,
+    right_carry: list[str] | None = None,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Interval (range) join: every left row pairs with every right interval
+    of the same key containing its timestamp (``start <= ts <= end``;
+    overlapping intervals yield one output row per match). No Dataset
+    primitive covers the BETWEEN predicate.
+
+    Scale design: both sides co-partition by ``hash(key) % num_buckets``
+    (ONE shuffle, the same side-column union as :func:`asof_join`); within a
+    bucket the match is a vectorized pandas equi-merge on the key followed by
+    the interval filter. The per-key blowup is bounded by intervals-per-key —
+    range joins assume a DIMENSION-like right side (windows, campaigns,
+    maintenance periods); a fact×fact interval join needs time-bucketed
+    pre-partitioning first.
+    """
+    import pandas as pd
+
+    from .bucketed import bucketed_map_groups
+
+    left_cols = left.schema().names
+    carry = list(right_carry) if right_carry else [
+        c for c in right.schema().names
+        if c not in (key_column, start_column, end_column)
+    ]
+    keep = [key_column, start_column, end_column] + carry
+
+    l = left.add_column("__side", lambda df: pd.Series(["l"] * len(df)), batch_format="pandas")
+    r = right.select_columns(keep).add_column(
+        "__side", lambda df: pd.Series(["r"] * len(df)), batch_format="pandas"
+    )
+    both = l.union(r)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"][[c for c in g.columns if c in left_cols]]
+        rg = g[g["__side"] == "r"][keep]
+        merged = lg.merge(rg, on=key_column)
+        if merged.empty:
+            return merged
+        mask = (merged[ts_column] >= merged[start_column]) & (
+            merged[ts_column] <= merged[end_column]
+        )
+        return merged[mask]
+
+    return bucketed_map_groups(
+        both, [key_column], per_bucket, num_buckets, batch_format="pandas"
+    )

@@ -915,6 +915,95 @@ SELECT doc_id, n_tokens, (p // 2048)::BIGINT AS seq_bin FROM c
 """
 
 
+def q_events_range_join(sf_dir: str) -> ray.data.Dataset:
+    """Interval (range) join: 20 overlapping per-type promo windows derived
+    from the events time extent (integer-microsecond arithmetic — exact on
+    both sides) joined to events on ``event_type`` + ``ts BETWEEN``; per
+    window the exact count and first event id."""
+    import pandas as pd
+
+    from .functions.joins import range_join
+
+    ev = _t(sf_dir, "events", columns=["event_type", "event_id", "ts"])
+
+    def with_us(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "ts_us", pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+        )
+
+    ev_us = ev.map_batches(with_us, batch_format="pyarrow").select_columns(
+        ["event_type", "event_id", "ts_us"]
+    )
+    from ray.data.aggregate import Max, Min
+
+    ext = ev_us.aggregate(Min("ts_us"), Max("ts_us"))
+    lo, hi = int(ext["min(ts_us)"]), int(ext["max(ts_us)"])
+    span = hi - lo
+    types = sorted(ev.unique("event_type"))
+    rows = []
+    for et in types:
+        for k in range(20):
+            s = lo + k * (span // 25)
+            rows.append(
+                {"event_type": et, "window_id": k, "w_start": s, "w_end": s + span // 12}
+            )
+    windows = ray.data.from_pandas(pd.DataFrame(rows))
+    joined = range_join(
+        ev_us, windows, "event_type", "ts_us", "w_start", "w_end",
+        right_carry=["window_id"], num_buckets=8,
+    )
+
+    def agg(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["event_type", "window_id"]).aggregate(
+            [([], "count_all"), ("event_id", "min")]
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_id": pc.cast(t["window_id"], pa.int64()),
+                "n_events": pc.cast(t["count_all"], pa.int64()),
+                "first_event": pc.cast(t["event_id_min"], pa.int64()),
+            }
+        )
+
+    # two-level exact combine: per-batch partial, tiny final groupby
+    partial = joined.map_batches(agg, batch_format="pyarrow", batch_size=None)
+
+    def final(g: pa.Table) -> pa.Table:
+        t = g.group_by(["event_type", "window_id"]).aggregate(
+            [("n_events", "sum"), ("first_event", "min")]
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_id": t["window_id"],
+                "n_events": pc.cast(t["n_events_sum"], pa.int64()),
+                "first_event": pc.cast(t["first_event_min"], pa.int64()),
+            }
+        )
+
+    from .functions.bucketed import bucketed_map_groups
+
+    return bucketed_map_groups(partial, ["event_type", "window_id"], final, 8)
+
+
+Q_EVENTS_RANGE_JOIN_SQL = """
+WITH ext AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+w AS (
+  SELECT et.event_type, ks.k AS window_id,
+         lo + ks.k * ((hi - lo) // 25) AS s,
+         lo + ks.k * ((hi - lo) // 25) + ((hi - lo) // 12) AS e
+  FROM ext, (SELECT DISTINCT event_type FROM events) et,
+       (SELECT unnest(generate_series(0, 19)) AS k) ks
+)
+SELECT w.event_type, w.window_id,
+       count(*)::BIGINT AS n_events, min(ev.event_id)::BIGINT AS first_event
+FROM w JOIN events ev
+  ON ev.event_type = w.event_type AND epoch_us(ev.ts) BETWEEN w.s AND w.e
+GROUP BY w.event_type, w.window_id
+"""
+
+
 def q_value_quantiles(sf_dir: str) -> pa.Table:
     """EXACT distributed quantiles of events.value (discrete k-th element,
     DuckDB's quantile_disc rule) via iterative histogram selection — counts
@@ -1810,6 +1899,7 @@ def build_queries() -> dict:
         "q_pack_sequences": q_pack_sequences,
         "q_top_events_per_user": q_top_events_per_user,
         "q_value_quantiles": q_value_quantiles,
+        "q_events_range_join": q_events_range_join,
         "q_decontaminate": q_decontaminate,
         "q_segment_dedup": q_segment_dedup,
         "q_stratified_sample": q_stratified_sample,
@@ -1874,6 +1964,7 @@ def build_oracle_sql() -> dict:
         "q_pack_sequences": Q_PACK_SEQUENCES_SQL,
         "q_top_events_per_user": Q_TOP_EVENTS_PER_USER_SQL,
         "q_value_quantiles": Q_VALUE_QUANTILES_SQL,
+        "q_events_range_join": Q_EVENTS_RANGE_JOIN_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_segment_dedup": Q_SEGMENT_DEDUP_SQL,
         "q_stratified_sample": Q_STRATIFIED_SAMPLE_SQL,

@@ -379,3 +379,25 @@ def test_exact_quantiles_vs_numpy(ray_session):
     for q, v in zip(out["q"], out["value"]):
         k = max(0, math.ceil(q * len(s)) - 1)
         assert v == s[k], (q, v, s[k])
+
+
+def test_range_join_overlapping_intervals(ray_session):
+    import pandas as pd
+    import ray.data
+    from deepdoctection_ray.functions.joins import range_join
+
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": ["a", "a", "a", "b", "b"], "ts": [5, 15, 25, 5, 50], "row": [0, 1, 2, 3, 4]}
+    ))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"k": ["a", "a", "b"], "w_start": [0, 10, 0], "w_end": [20, 30, 10], "wid": [0, 1, 2]}
+    ))
+    out = (
+        range_join(left, right, "k", "ts", "w_start", "w_end", right_carry=["wid"], num_buckets=4)
+        .to_pandas()
+        .sort_values(["row", "wid"])
+        .reset_index(drop=True)
+    )
+    got = set(zip(out["row"], out["wid"]))
+    # ts=15 in 'a' falls in BOTH overlapping windows; ts=50 in 'b' matches none
+    assert got == {(0, 0), (1, 0), (1, 1), (2, 1), (3, 2)}
