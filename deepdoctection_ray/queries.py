@@ -818,6 +818,148 @@ WHERE len(list_intersect(da.g, db.g))::DOUBLE
 """
 
 
+def q_dup_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup PAIRS → transitive duplicate CLUSTERS: distributed min-label
+    connected components (stages/graph.py) over the exact-verified MinHash
+    pairs at τ=0.5. ``cluster_id`` is the component's minimum doc_id — the
+    canonical survivor a training pipeline keeps (``doc_id == cluster_id``).
+    Oracle: DuckDB recursive transitive closure over the same brute-force
+    pair truth the minhash oracle uses."""
+    from .stages.graph import dup_clusters
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_clusters(
+        docs, "text", "doc_id", threshold=0.5, num_hashes=128, bands=64
+    )
+
+
+# transitive closure over the SAME pair truth as Q_DEDUP_MINHASH_SQL: each
+# involved doc's cluster is the min doc_id reachable through >=0.5-jaccard
+# pairs (recursive CTE walks the undirected edge set to fixpoint)
+Q_DUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE prs AS (\n"
+    + Q_DEDUP_MINHASH_SQL
+    + """),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM prs
+  UNION
+  SELECT id_b, id_a FROM prs
+),
+walk(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+),
+reach AS (
+  SELECT u, v FROM walk
+  UNION
+  SELECT DISTINCT u, u FROM edges
+)
+SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+"""
+)
+
+
+def q_pii_redact(sf_dir: str) -> ray.data.Dataset:
+    """PII scrub (stages/pii.redact_pii): RE2-vectorized email/SSN/phone/IPv4
+    redaction with per-category counts. The synthetic corpus text is PII-free,
+    so the query first derives a deterministic PII-bearing column (addresses
+    injected as pure functions of doc_id; the SQL derives the identical
+    column) — the redaction stage is the thing under test, the derivation is
+    shared scaffolding. DuckDB's regexp engine is the same RE2, making the
+    chained count→replace oracle bit-exact."""
+    from .stages.pii import redact_pii
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        did = df["doc_id"].to_numpy()
+        s = lambda arr: pd.Series(arr).astype(str)  # noqa: E731
+        aug = (
+            df["text"]
+            + pd.Series(
+                np.where(did % 3 == 0, " contact user" + s(did) + "@example.com", "")
+            )
+            + pd.Series(
+                np.where(
+                    did % 5 == 0,
+                    " call 555-" + s(did % 900 + 100) + "-" + s(did % 9000 + 1000),
+                    "",
+                )
+            )
+            + pd.Series(
+                np.where(
+                    did % 7 == 0,
+                    " host 10." + s(did % 256) + "." + s(did * 7 % 256) + "." + s(did % 100),
+                    "",
+                )
+            )
+            + pd.Series(
+                np.where(did % 11 == 0, " ssn 123-45-" + s(did % 9000 + 1000), "")
+            )
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(aug, pa.string())}
+        )
+
+    clean = redact_pii(
+        docs.map_batches(augment, batch_format="pyarrow", batch_size=None)
+    )
+    return clean.select_columns(
+        ["doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "clean_text"]
+    )
+
+
+Q_PII_SQL = r"""
+-- identical PII injection (pure function of doc_id), then the same ordered
+-- RE2 count->replace chain as stages/pii.PII_PATTERNS: email, SSN, phone,
+-- IPv4 — each counting on the text state the previous replacement produced
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+                 || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+                 || '.' || CAST(doc_id % 100 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' ssn 123-45-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+            ELSE '' END AS t0
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+         regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ssn,
+         len(regexp_extract_all(t2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+         regexp_replace(t2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, n_email, n_ssn, n_phone,
+       len(regexp_extract_all(t3, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+       regexp_replace(t3, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g') AS clean_text
+FROM s3
+"""
+
+
 def q_top_ngrams(sf_dir: str) -> ray.data.Dataset:
     """EXACT corpus top-100 word 3-grams (boilerplate/contamination scan):
     per-batch Counter combiner → bucketed groupby-sum with per-bucket top-k
@@ -1893,6 +2035,8 @@ def build_queries() -> dict:
         "q_rolling_fingerprint": q_rolling_fingerprint,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_jaccard": q_dedup_jaccard,
+        "q_dup_clusters": q_dup_clusters,
+        "q_pii_redact": q_pii_redact,
         "q_top_ngrams": q_top_ngrams,
         "q_heavy_ngrams": q_heavy_ngrams,
         "q_split_by_hash": q_split_by_hash,
@@ -1957,6 +2101,8 @@ def build_oracle_sql() -> dict:
         "q_rolling_fingerprint": Q_ROLLING_FP_SQL,
         "q_dedup_minhash": Q_DEDUP_MINHASH_SQL,
         "q_dedup_jaccard": Q_DEDUP_JACCARD_SQL,
+        "q_dup_clusters": Q_DUP_CLUSTERS_SQL,
+        "q_pii_redact": Q_PII_SQL,
         "q_dedup_simhash": Q_DEDUP_SIMHASH_SQL,
         "q_approx_distinct_users": Q_APPROX_DISTINCT_SQL,
         "q_top_ngrams": Q_TOP_NGRAMS_SQL,
