@@ -28,15 +28,19 @@ modern layout (dict objects packed in one ObjStm, Flate+Up-predictor xref
 stream) so fixtures exercise both paths. Reference capability:
 ``dd_core/utils/pdf_utils.py:406-545`` (via pypdfium2).
 
-Encrypted documents using the Standard security handler with RC4 (V1/V2,
-R2/R3 — the pre-AES scheme; spec §7.6.3, pure hashlib+RC4) decrypt
+Encrypted documents using the Standard security handler decrypt
 transparently with the empty user password, matching the reference's
-decrypt capability (``pdf_utils.py:168-331``); ``write_pdf(encrypt=True)``
-produces such files for fixtures. AES (V4+/R4+) and non-empty passwords
-are rejected loudly.
+decrypt capability (``pdf_utils.py:168-331``): RC4 V1/V2 R2/R3 (spec
+§7.6.3, pure hashlib+RC4), AES-128 V4/R4 ``/AESV2`` (per-object key with
+the ``sAlT`` suffix, CBC with leading IV), and AES-256 V5/R5/R6 ``/AESV3``
+(SHA-2 key derivation incl. the R6 Algorithm-2.B iterated hash; /Perms
+integrity check). The AES block cipher is the public FIPS-197 algorithm
+(``kernels/aes.py``). ``write_pdf(encrypt="rc4"|"aesv2"|"aes256")``
+produces each layout for fixtures.
 
-Limitations (documented, raise loudly): AES-encrypted and password-locked
-documents. Word boxes use the nominal glyph advance 0.5*size per char
+Limitations (documented, raise loudly): password-locked documents (a
+non-empty user password fails /U validation), public-key (non-Standard)
+handlers. Word boxes use the nominal glyph advance 0.5*size per char
 (Helvetica-average) — deterministic, so the differential golden path is
 exact even though widths are approximate.
 """
@@ -83,7 +87,13 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 
 
 def _std_file_key(
-    password: bytes, o_entry: bytes, p: int, id0: bytes, r: int, key_len: int
+    password: bytes,
+    o_entry: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    key_len: int,
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Spec §7.6.3.3 Algorithm 2: the file encryption key."""
     import hashlib
@@ -93,6 +103,8 @@ def _std_file_key(
     h.update(o_entry[:32])
     h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
     h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -113,14 +125,37 @@ def _std_user_check(key: bytes, id0: bytes, r: int) -> bytes:
     return u + b"\x00" * 16
 
 
-def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """Spec §7.6.2 Algorithm 1: the per-object RC4 key."""
+def _object_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
+    """Spec §7.6.2 Algorithm 1: the per-object key (``sAlT`` suffix for
+    the AESV2 crypt filter)."""
     import hashlib
 
     h = hashlib.md5(
-        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        file_key
+        + num.to_bytes(3, "little")
+        + gen.to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
+
+
+def _r6_hash(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B: the R6 iterated SHA-2 hash (the hardened
+    replacement for R5's single SHA-256). Needs AES-128-CBC encryption
+    inside the loop — kernels/aes.py provides it."""
+    import hashlib
+
+    from .aes import aes_cbc_encrypt_nopad
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)[16:]  # drop IV prefix
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 def _std_owner_entry(owner_pw: bytes, user_pw: bytes, r: int, key_len: int) -> bytes:
@@ -141,24 +176,88 @@ def _std_owner_entry(owner_pw: bytes, user_pw: bytes, r: int, key_len: int) -> b
 
 class _EncryptionParams:
     """Writer-side bundle: file key + the /Encrypt dict + trailer /ID, for
-    V2/R3 RC4-128 with empty user/owner passwords (the layout
-    ``_setup_encryption`` accepts)."""
+    the Standard handler layouts ``_setup_encryption`` accepts, with empty
+    user/owner passwords: ``rc4`` (V2/R3 RC4-128), ``aesv2`` (V4/R4
+    AES-128-CBC) and ``aes256`` (V5/R6 AES-256, R6 iterated-hash entries).
+    IVs/salts are deterministic functions of /ID so fixtures are
+    byte-reproducible."""
 
-    def __init__(self, id0: bytes) -> None:
+    def __init__(self, id0: bytes, mode: str = "rc4") -> None:
+        import hashlib
+
+        assert mode in ("rc4", "aesv2", "aes256")
         self.id0 = id0
+        self.mode = mode
         self.p = -44
-        self.r, self.v, self.key_len = 3, 2, 16
-        self.o_entry = _std_owner_entry(b"", b"", self.r, self.key_len)
-        self.file_key = _std_file_key(b"", self.o_entry, self.p, id0, self.r, self.key_len)
-        self.u_entry = _std_user_check(self.file_key, id0, self.r)
+        if mode == "aes256":
+            self.v, self.r, self.key_len = 5, 6, 32
+            self.file_key = hashlib.sha256(id0 + b"filekey").digest()
+            salt = lambda tag: hashlib.sha256(id0 + tag).digest()[:8]  # noqa: E731
+            vs, ks = salt(b"user-vs"), salt(b"user-ks")
+            self.u_entry = _r6_hash(b"", vs) + vs + ks
+            from .aes import aes_cbc_encrypt_nopad
+
+            self.ue_entry = aes_cbc_encrypt_nopad(
+                _r6_hash(b"", ks), bytes(16), self.file_key
+            )[16:]
+            vso, kso = salt(b"owner-vs"), salt(b"owner-ks")
+            self.o_entry = _r6_hash(b"", vso, self.u_entry) + vso + kso
+            self.oe_entry = aes_cbc_encrypt_nopad(
+                _r6_hash(b"", kso, self.u_entry), bytes(16), self.file_key
+            )[16:]
+            perms_blk = (
+                (self.p & 0xFFFFFFFF).to_bytes(4, "little")
+                + b"\xff\xff\xff\xff"
+                + b"T"
+                + b"adb"
+                + hashlib.md5(id0 + b"perms").digest()[:4]
+            )
+            self.perms_entry = aes_cbc_encrypt_nopad(self.file_key, bytes(16), perms_blk)[16:]
+        else:
+            self.v, self.r = (4, 4) if mode == "aesv2" else (2, 3)
+            self.key_len = 16
+            self.o_entry = _std_owner_entry(b"", b"", self.r, self.key_len)
+            self.file_key = _std_file_key(
+                b"", self.o_entry, self.p, id0, self.r, self.key_len
+            )
+            self.u_entry = _std_user_check(self.file_key, id0, self.r)
+
+    def _iv(self, num: int) -> bytes:
+        import hashlib
+
+        return hashlib.md5(self.id0 + num.to_bytes(4, "little")).digest()
 
     def encrypt_stream(self, num: int, body: bytes) -> bytes:
-        return _rc4(_object_key(self.file_key, num, 0), body)
+        if self.mode == "rc4":
+            return _rc4(_object_key(self.file_key, num, 0), body)
+        from .aes import aes_cbc_encrypt
+
+        if self.mode == "aesv2":
+            return aes_cbc_encrypt(
+                _object_key(self.file_key, num, 0, aes=True), self._iv(num), body
+            )
+        return aes_cbc_encrypt(self.file_key, self._iv(num), body)
 
     def dict_bytes(self) -> bytes:
+        if self.mode == "rc4":
+            return (
+                f"<< /Filter /Standard /V {self.v} /R {self.r} /Length {self.key_len * 8} "
+                f"/P {self.p} /O <{self.o_entry.hex()}> /U <{self.u_entry.hex()}> >>"
+            ).encode()
+        if self.mode == "aesv2":
+            return (
+                f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                f"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+                f"/StmF /StdCF /StrF /StdCF "
+                f"/P {self.p} /O <{self.o_entry.hex()}> /U <{self.u_entry.hex()}> >>"
+            ).encode()
         return (
-            f"<< /Filter /Standard /V {self.v} /R {self.r} /Length {self.key_len * 8} "
-            f"/P {self.p} /O <{self.o_entry.hex()}> /U <{self.u_entry.hex()}> >>"
+            f"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+            f"/StmF /StdCF /StrF /StdCF /P {self.p} "
+            f"/O <{self.o_entry.hex()}> /U <{self.u_entry.hex()}> "
+            f"/OE <{self.oe_entry.hex()}> /UE <{self.ue_entry.hex()}> "
+            f"/Perms <{self.perms_entry.hex()}> >>"
         ).encode()
 
     def trailer_extra(self, enc_num: int) -> str:
@@ -444,8 +543,9 @@ class PdfReader:
         return raw.rstrip(b"\r\n")
 
     def _setup_encryption(self) -> None:
-        """Standard security handler (spec §7.6.3), RC4 V1/V2 R2/R3, empty
-        user password — the reference's decrypt capability
+        """Standard security handler (spec §7.6.3 / ISO 32000-2 §7.6.4):
+        RC4 V1/V2 R2/R3, AES-128 V4/R4 (/AESV2) and AES-256 V5/R5/R6
+        (/AESV3), empty user password — the reference's decrypt capability
         (``pdf_utils.py:168-331``). Verifies /U before accepting the key so
         password-locked files fail loudly instead of yielding garbage."""
         enc_ref = self.trailer.get("/Encrypt")
@@ -458,9 +558,6 @@ class PdfReader:
             raise PdfError("only the Standard security handler is supported")
         v = int(self.resolve(enc.get("/V", 0)))
         r = int(self.resolve(enc.get("/R", 2)))
-        if v not in (1, 2) or r not in (2, 3):
-            raise PdfError(f"unsupported encryption V={v} R={r} (AES / V4+ not supported)")
-        key_len = int(self.resolve(enc.get("/Length", 40))) // 8 if v == 2 else 5
         o_entry = self.resolve(enc.get("/O")) or b""
         u_entry = self.resolve(enc.get("/U")) or b""
         p_val = int(self.resolve(enc.get("/P", -1)))
@@ -468,11 +565,69 @@ class PdfReader:
         id0 = self.resolve(ids[0]) if ids else b""
         if not isinstance(id0, bytes):
             id0 = b""
-        key = _std_file_key(b"", o_entry, p_val, id0, r, key_len)
+
+        if v == 5 and r in (5, 6):
+            self._setup_aes256(enc, o_entry, u_entry, p_val, r)
+            return
+
+        if v == 4:
+            cf = self.resolve(enc.get("/CF")) or {}
+            stdcf = self.resolve(cf.get("/StdCF")) or {}
+            cfm = self.resolve(stdcf.get("/CFM"))
+            stmf = self.resolve(enc.get("/StmF", "/Identity"))
+            if stmf != "/StdCF":
+                raise PdfError(f"unsupported stream crypt filter {stmf}")
+            if cfm == "/AESV2":
+                self._crypt_method = "aesv2"
+            elif cfm == "/V2":
+                self._crypt_method = "rc4"
+            else:
+                raise PdfError(f"unsupported crypt filter method {cfm}")
+            key_len = int(self.resolve(enc.get("/Length", 128))) // 8
+        elif v in (1, 2) and r in (2, 3):
+            self._crypt_method = "rc4"
+            key_len = int(self.resolve(enc.get("/Length", 40))) // 8 if v == 2 else 5
+        else:
+            raise PdfError(f"unsupported encryption V={v} R={r}")
+
+        encrypt_metadata = self.resolve(enc.get("/EncryptMetadata", True))
+        key = _std_file_key(
+            b"", o_entry, p_val, id0, r, key_len,
+            encrypt_metadata=bool(encrypt_metadata),
+        )
         expect = _std_user_check(key, id0, r)
         ok = expect[:16] == u_entry[:16] if r >= 3 else expect == u_entry[:32]
         if not ok:
             raise PdfError("encrypted PDF requires a password (empty user password failed)")
+        self._file_key = key
+
+    def _setup_aes256(self, enc: dict, o_entry: bytes, u_entry: bytes, p_val: int, r: int) -> None:
+        """AES-256 Standard handler (V5): validate the empty user password
+        against /U, unwrap the file key from /UE, check /Perms integrity
+        (R6 uses the Algorithm-2.B iterated hash; R5 a single SHA-256)."""
+        import hashlib
+
+        from .aes import aes_cbc_decrypt
+
+        if len(u_entry) < 48:
+            raise PdfError("malformed AES-256 /U entry")
+        ue = self.resolve(enc.get("/UE")) or b""
+        vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+        if r == 6:
+            check = _r6_hash(b"", vsalt)
+            inter = _r6_hash(b"", ksalt)
+        else:
+            check = hashlib.sha256(b"" + vsalt).digest()
+            inter = hashlib.sha256(b"" + ksalt).digest()
+        if check != u_entry[:32]:
+            raise PdfError("encrypted PDF requires a password (empty user password failed)")
+        key = aes_cbc_decrypt(inter, bytes(16) + ue[:32], strip_padding=False)
+        perms = self.resolve(enc.get("/Perms"))
+        if isinstance(perms, bytes) and len(perms) >= 16:
+            blk = aes_cbc_decrypt(key, bytes(16) + perms[:16], strip_padding=False)
+            if blk[9:12] != b"adb":
+                raise PdfError("/Perms integrity check failed (wrong file key)")
+        self._crypt_method = "aesv3"
         self._file_key = key
 
     def resolve(self, obj):
@@ -707,7 +862,21 @@ class _Stream:
             and self.num is not None
             and self.meta.get("/Type") != "/XRef"
         ):
-            raw = _rc4(_object_key(reader._file_key, self.num, self.gen), raw)
+            method = getattr(reader, "_crypt_method", "rc4")
+            if method == "rc4":
+                raw = _rc4(_object_key(reader._file_key, self.num, self.gen), raw)
+            elif method == "aesv2":
+                from .aes import aes_cbc_decrypt
+
+                raw = aes_cbc_decrypt(
+                    _object_key(reader._file_key, self.num, self.gen, aes=True), raw
+                )
+            elif method == "aesv3":
+                from .aes import aes_cbc_decrypt
+
+                raw = aes_cbc_decrypt(reader._file_key, raw)
+            else:  # pragma: no cover - set only by _setup_encryption
+                raise PdfError(f"unknown crypt method {method}")
         filt = reader.resolve(self.meta.get("/Filter"))
         if filt is None:
             return raw
@@ -787,7 +956,7 @@ def write_pdf(
     pages: list[dict],
     compress: bool = False,
     xref_stream: bool = False,
-    encrypt: bool = False,
+    encrypt: bool | str = False,
 ) -> bytes:
     """Minimal PDF writer for fixtures and page re-serialization.
 
@@ -801,9 +970,11 @@ def write_pdf(
     Flate + PNG Up predictor) — the same container shape mainstream writers
     produce, so reader fixtures exercise the modern path end to end.
 
-    ``encrypt=True`` applies the Standard security handler (V2/R3, RC4-128,
-    empty passwords, deterministic /ID from the page content): stream bodies
-    are RC4-encrypted with per-object keys (after Flate — encryption is the
+    ``encrypt`` applies the Standard security handler with empty passwords
+    and a deterministic /ID from the page content: ``True``/``"rc4"`` →
+    V2/R3 RC4-128, ``"aesv2"`` → V4/R4 AES-128-CBC, ``"aes256"`` → V5/R6
+    AES-256 (R6 iterated-hash /U //UE //O //OE //Perms entries). Stream
+    bodies are encrypted per object (after Flate — encryption is the
     outermost layer, spec §7.6.2). Composable with both layouts; in the
     1.5 layout the /Encrypt dict stays a direct object (never inside the
     ObjStm, spec §7.5.7) and the ObjStm body is itself encrypted.
@@ -816,7 +987,7 @@ def write_pdf(
     enc: _EncryptionParams | None = None
     if encrypt:
         seed = hashlib.md5(repr(sorted(repr(p) for p in pages)).encode()).digest()
-        enc = _EncryptionParams(seed)
+        enc = _EncryptionParams(seed, "rc4" if encrypt is True else encrypt)
 
     def add(obj: bytes, is_stream: bool = False) -> int:
         objects.append(obj)

@@ -238,13 +238,15 @@ def test_pdf15_fixture_corpus_extracts():
 # ------------------------------------------------------------- encryption
 
 
+@pytest.mark.parametrize("mode", ["rc4", "aesv2", "aes256"])
 @pytest.mark.parametrize("compress", [False, True])
 @pytest.mark.parametrize("xref_stream", [False, True])
-def test_encrypted_roundtrip(compress, xref_stream):
-    """RC4 Standard-handler (V2/R3, empty password) files decrypt
-    transparently in both container layouts (reference capability:
+def test_encrypted_roundtrip(mode, compress, xref_stream):
+    """Standard-handler files (empty password) decrypt transparently in both
+    container layouts for all three crypt generations: RC4 V2/R3, AES-128
+    V4/R4 /AESV2, AES-256 V5/R6 /AESV3 (reference capability:
     dd_core/utils/pdf_utils.py:168-331)."""
-    data = write_pdf(PAGES, compress=compress, xref_stream=xref_stream, encrypt=True)
+    data = write_pdf(PAGES, compress=compress, xref_stream=xref_stream, encrypt=mode)
     assert b"/Encrypt" in data
     reader = PdfReader(data)
     assert reader.num_pages == 2
@@ -275,8 +277,63 @@ def test_encrypted_wrong_password_rejected():
         PdfReader(bytes(data))
 
 
-def test_aes_encryption_rejected_loudly():
+def test_unknown_encryption_rejected_loudly():
     data = write_pdf(PAGES, encrypt=True)
-    patched = data.replace(b"/V 2 /R 3", b"/V 4 /R 4")
-    with pytest.raises(PdfError, match="V=4"):
+    patched = data.replace(b"/V 2 /R 3", b"/V 3 /R 3")
+    with pytest.raises(PdfError, match="V=3"):
         PdfReader(patched)
+
+
+@pytest.mark.parametrize("mode", ["aesv2", "aes256"])
+def test_aes_encrypted_bytes_actually_ciphered(mode):
+    enc = write_pdf(PAGES, encrypt=mode)
+    assert b"(hello)" not in enc
+
+
+def test_aes256_wrong_password_rejected():
+    data = bytearray(write_pdf(PAGES, encrypt="aes256"))
+    at = bytes(data).index(b"/U <") + 4
+    data[at : at + 2] = b"00" if data[at : at + 2] != b"00" else b"ff"
+    with pytest.raises(PdfError, match="password"):
+        PdfReader(bytes(data))
+
+
+def test_aes256_perms_integrity_checked():
+    data = bytearray(write_pdf(PAGES, encrypt="aes256"))
+    at = bytes(data).index(b"/Perms <") + 8
+    data[at : at + 2] = b"00" if data[at : at + 2] != b"00" else b"ff"
+    with pytest.raises(PdfError, match="Perms"):
+        PdfReader(bytes(data))
+
+
+def test_aes_fips197_vectors():
+    """The AES core is pinned to the public FIPS-197 Appendix C vectors and
+    a NIST SP800-38A CBC vector — any table/schedule regression fails here."""
+    from deepdoctection_ray.kernels.aes import (
+        _decrypt_block,
+        _encrypt_block,
+        _expand_key,
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    expected = {
+        16: "69c4e0d86a7b0430d8cdb78070b4c55a",
+        24: "dda97ca4864cdfe06eaf70a0ec0d7191",
+        32: "8ea2b7ca516745bfeafc49904b496089",
+    }
+    for klen, exp in expected.items():
+        key = bytes(range(klen))
+        rk = _expand_key(key)
+        ct = _encrypt_block(rk, pt)
+        assert ct.hex() == exp
+        assert _decrypt_block(rk, ct) == pt
+    k = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("000102030405060708090A0B0C0D0E0F")
+    p1 = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    assert (
+        aes_cbc_encrypt(k, iv, p1)[16:32].hex() == "7649abac8119b246cee98e9b12e9197d"
+    )
+    msg = b"arbitrary length payload round-trips through CBC with padding"
+    assert aes_cbc_decrypt(k, aes_cbc_encrypt(k, iv, msg)) == msg
