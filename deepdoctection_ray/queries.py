@@ -960,6 +960,48 @@ FROM s3
 """
 
 
+def q_bm25_search(sf_dir: str) -> ray.data.Dataset:
+    """Okapi BM25 top-20 over documents for a fixed 3-term query
+    (stages/search.bm25_search): two streaming passes — block-local partial
+    corpus stats reduced by a tiny sum, then IDF-closure scoring with
+    block-local lossless top-k. RE2 word-boundary term counts are shared
+    with DuckDB, so the oracle recomputes the identical scores."""
+    from .stages.search import bm25_search
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_search(docs, ["spark", "window", "hash"], k=20)
+
+
+Q_BM25_SQL = r"""
+-- identical Okapi BM25 (k1=1.2, b=0.75, Lucene idf): same RE2 tf/dl counts,
+-- same float expression shape/order, same (score desc, doc_id) tie order
+WITH tf AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+'))::DOUBLE AS dl,
+         len(regexp_extract_all(text, '\bspark\b'))::DOUBLE AS tf0,
+         len(regexp_extract_all(text, '\bwindow\b'))::DOUBLE AS tf1,
+         len(regexp_extract_all(text, '\bhash\b'))::DOUBLE AS tf2
+  FROM documents
+),
+g AS (
+  SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl,
+         sum((tf0 > 0)::INT)::DOUBLE AS df0,
+         sum((tf1 > 0)::INT)::DOUBLE AS df1,
+         sum((tf2 > 0)::INT)::DOUBLE AS df2
+  FROM tf
+)
+SELECT doc_id,
+       round(
+         ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+       6) AS score
+FROM tf, g
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
 def q_top_ngrams(sf_dir: str) -> ray.data.Dataset:
     """EXACT corpus top-100 word 3-grams (boilerplate/contamination scan):
     per-batch Counter combiner → bucketed groupby-sum with per-bucket top-k
@@ -2037,6 +2079,7 @@ def build_queries() -> dict:
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_dup_clusters": q_dup_clusters,
         "q_pii_redact": q_pii_redact,
+        "q_bm25_search": q_bm25_search,
         "q_top_ngrams": q_top_ngrams,
         "q_heavy_ngrams": q_heavy_ngrams,
         "q_split_by_hash": q_split_by_hash,
@@ -2103,6 +2146,7 @@ def build_oracle_sql() -> dict:
         "q_dedup_jaccard": Q_DEDUP_JACCARD_SQL,
         "q_dup_clusters": Q_DUP_CLUSTERS_SQL,
         "q_pii_redact": Q_PII_SQL,
+        "q_bm25_search": Q_BM25_SQL,
         "q_dedup_simhash": Q_DEDUP_SIMHASH_SQL,
         "q_approx_distinct_users": Q_APPROX_DISTINCT_SQL,
         "q_top_ngrams": Q_TOP_NGRAMS_SQL,

@@ -1,0 +1,66 @@
+"""BM25 search: brute-force parity, determinism across block layouts."""
+
+import math
+
+import pytest
+
+import ray.data
+
+from deepdoctection_ray.stages.search import bm25_search
+
+DOCS = [
+    {"doc_id": 1, "text": "spark spark spark window"},
+    {"doc_id": 2, "text": "window hash window"},
+    {"doc_id": 3, "text": "nothing relevant at all here today"},
+    {"doc_id": 4, "text": "hash"},
+    {"doc_id": 5, "text": "spark window hash spark window hash spark window hash"},
+    {"doc_id": 6, "text": "sparkle windows hashes"},  # word-boundary: no match
+]
+TERMS = ["spark", "window", "hash"]
+
+
+def _brute(docs, terms, k1=1.2, b=0.75):
+    import re
+
+    dls = [len(d["text"].split()) for d in docs]
+    n = len(docs)
+    avgdl = sum(dls) / n
+    tfs = [
+        [len(re.findall(r"\b" + t + r"\b", d["text"])) for t in terms] for d in docs
+    ]
+    dfs = [sum(1 for row in tfs if row[i] > 0) for i in range(len(terms))]
+    out = []
+    for d, dl, row in zip(docs, dls, tfs):
+        s = 0.0
+        for i, tf in enumerate(row):
+            idf = math.log(1.0 + (n - dfs[i] + 0.5) / (dfs[i] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        out.append((d["doc_id"], round(s, 6)))
+    return sorted(out, key=lambda x: (-x[1], x[0]))
+
+
+@pytest.mark.parametrize("parallelism", [1, 4])
+def test_bm25_matches_brute_force(ray_session, parallelism):
+    ds = ray.data.from_items(DOCS, override_num_blocks=parallelism)
+    got = bm25_search(ds, TERMS, k=6).to_pandas()
+    exp = _brute(DOCS, TERMS)
+    assert list(zip(got["doc_id"], got["score"])) == exp
+    # doc 6 ("sparkle windows") must score 0 — word boundaries respected
+    assert got.set_index("doc_id").loc[6, "score"] == 0.0
+
+
+def test_bm25_topk_cut(ray_session):
+    ds = ray.data.from_items(DOCS, override_num_blocks=3)
+    got = bm25_search(ds, TERMS, k=2).to_pandas()
+    exp = _brute(DOCS, TERMS)[:2]
+    assert list(zip(got["doc_id"], got["score"])) == exp
+
+
+def test_bm25_empty_corpus(ray_session):
+    import pyarrow as pa
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    out = bm25_search(empty, TERMS, k=5)
+    assert out.count() == 0
