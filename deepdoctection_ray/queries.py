@@ -1002,6 +1002,46 @@ LIMIT 20
 """
 
 
+def q_profile_docs(sf_dir: str) -> pa.Table:
+    """Column profiler over documents (stages/profile.profile_table): one
+    typed-partials pass + one bucketed exact-distinct pass. min/max are
+    stringified (int→str injective, so CAST..VARCHAR in the oracle matches);
+    columns here are int/string only — float stringification would not be
+    SQL-stable and is deliberately not exercised."""
+    from .stages.profile import profile_table
+
+    docs = _t(sf_dir, "documents")
+    return profile_table(docs, ["doc_id", "lang", "source", "n_chars", "text"])
+
+
+Q_PROFILE_DOCS_SQL = """
+-- per-column exact describe: same null/distinct semantics (count(DISTINCT)
+-- excludes NULLs), lexicographic VARCHAR min/max, avg ignoring nulls
+SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+       count(*) - count(doc_id) AS n_nulls, count(DISTINCT doc_id) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_s, CAST(max(doc_id) AS VARCHAR) AS max_s,
+       round(avg(doc_id), 6) AS mean
+FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+       min(lang), max(lang), NULL
+FROM documents
+UNION ALL
+SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+       min(source), max(source), NULL
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR),
+       round(avg(n_chars), 6)
+FROM documents
+UNION ALL
+SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text),
+       min(text), max(text), NULL
+FROM documents
+"""
+
+
 def q_top_ngrams(sf_dir: str) -> ray.data.Dataset:
     """EXACT corpus top-100 word 3-grams (boilerplate/contamination scan):
     per-batch Counter combiner → bucketed groupby-sum with per-bucket top-k
@@ -2080,6 +2120,7 @@ def build_queries() -> dict:
         "q_dup_clusters": q_dup_clusters,
         "q_pii_redact": q_pii_redact,
         "q_bm25_search": q_bm25_search,
+        "q_profile_docs": q_profile_docs,
         "q_top_ngrams": q_top_ngrams,
         "q_heavy_ngrams": q_heavy_ngrams,
         "q_split_by_hash": q_split_by_hash,
@@ -2147,6 +2188,7 @@ def build_oracle_sql() -> dict:
         "q_dup_clusters": Q_DUP_CLUSTERS_SQL,
         "q_pii_redact": Q_PII_SQL,
         "q_bm25_search": Q_BM25_SQL,
+        "q_profile_docs": Q_PROFILE_DOCS_SQL,
         "q_dedup_simhash": Q_DEDUP_SIMHASH_SQL,
         "q_approx_distinct_users": Q_APPROX_DISTINCT_SQL,
         "q_top_ngrams": Q_TOP_NGRAMS_SQL,
