@@ -885,9 +885,23 @@ class _Stream:
         parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
         data = raw
         for f, p in zip(filters, parms_list):
+            p = reader.resolve(p)
             if f == "/FlateDecode":
                 data = zlib.decompress(data)
-                p = reader.resolve(p)
+            elif f == "/LZWDecode":
+                early = 1
+                if isinstance(p, dict):
+                    early = int(reader.resolve(p.get("/EarlyChange", 1)))
+                data = _lzw_decode(data, early)
+            elif f == "/ASCIIHexDecode":
+                data = _ascii_hex_decode(data)
+            elif f == "/ASCII85Decode":
+                data = _ascii85_decode(data)
+            elif f == "/RunLengthDecode":
+                data = _runlength_decode(data)
+            else:
+                raise PdfError(f"unsupported stream filter {f}")
+            if f in ("/FlateDecode", "/LZWDecode"):
                 if isinstance(p, dict) and int(reader.resolve(p.get("/Predictor", 1))) > 1:
                     data = _undo_predictor(
                         data,
@@ -896,9 +910,199 @@ class _Stream:
                         int(reader.resolve(p.get("/Colors", 1))),
                         int(reader.resolve(p.get("/BitsPerComponent", 8))),
                     )
-            else:
-                raise PdfError(f"unsupported stream filter {f} (only FlateDecode)")
         return data
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """Spec §7.4.2: hex pairs, whitespace ignored, ``>`` EOD, odd trailing
+    digit padded with 0."""
+    digits = []
+    for b in data:
+        c = chr(b)
+        if c == ">":
+            break
+        if c in "0123456789abcdefABCDEF":
+            digits.append(c)
+        elif b not in _WS:
+            raise PdfError(f"invalid ASCIIHex character {c!r}")
+    if len(digits) % 2:
+        digits.append("0")
+    return bytes.fromhex("".join(digits))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """Spec §7.4.3: base-85 groups of 5 → 4 bytes, ``z`` for an all-zero
+    group, ``~>`` EOD, partial final group of n chars → n-1 bytes."""
+    out = bytearray()
+    group: list[int] = []
+    i = 0
+    while i < len(data):
+        b = data[i]
+        if b in _WS:
+            i += 1
+            continue
+        if b == 0x7E:  # '~'
+            break
+        if b == 0x7A:  # 'z'
+            if group:
+                raise PdfError("'z' inside an ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        if not 0x21 <= b <= 0x75:
+            raise PdfError(f"invalid ASCII85 character {b:#x}")
+        group.append(b - 0x21)
+        if len(group) == 5:
+            n = 0
+            for d in group:
+                n = n * 85 + d
+            out += n.to_bytes(4, "big")
+            group = []
+        i += 1
+    if group:
+        if len(group) == 1:
+            raise PdfError("truncated ASCII85 group")
+        k = len(group)
+        n = 0
+        for d in group + [84] * (5 - k):  # pad with 'u'
+            n = n * 85 + d
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """Spec §7.4.5: length byte 0-127 copies n+1 literals, 129-255 repeats
+    the next byte 257-n times, 128 is EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:
+            break
+        if n < 128:
+            out += data[i + 1 : i + 2 + n]
+            i += 2 + n
+        else:
+            out += data[i + 1 : i + 2] * (257 - n)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """Spec §7.4.4: 9→12-bit LZW with clear (256) / EOD (257) codes and the
+    PDF ``EarlyChange`` width-switch convention."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    bitbuf = bits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (bitbuf >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == 256:
+                reset()
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise PdfError("corrupt LZW stream (first code out of range)")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise PdfError("corrupt LZW stream (code out of range)")
+            out += entry
+            prev = entry
+            if len(table) + early - 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Writer-side LZW (fixtures): mirrors ``_lzw_decode``'s table and
+    width schedule so round trips are exact."""
+    out = bytearray()
+    bitbuf = bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bits
+        bitbuf = (bitbuf << width) | code
+        bits += width
+        while bits >= 8:
+            out.append((bitbuf >> (bits - 8)) & 0xFF)
+            bits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)
+    seq = b""
+    for byte in data:
+        cand = seq + bytes([byte])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        # decoder grows its table AFTER consuming this code; widths must
+        # switch in lockstep with its (len(table) + early - 1) rule
+        if next_code + early - 1 >= (1 << width) + 1 and width < 12:
+            width += 1
+        seq = bytes([byte])
+    if seq:
+        emit(table[seq], width)
+        next_code += 1
+        if next_code + early - 1 >= (1 << width) + 1 and width < 12:
+            width += 1
+    emit(257, width)
+    if bits:
+        out.append((bitbuf << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    """Writer-side ASCII85 (fixtures): 4→5 base-85, partial tail, ``~>``."""
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i : i + 4]
+        k = len(chunk)
+        n = int.from_bytes(chunk + b"\x00" * (4 - k), "big")
+        digits = []
+        for _ in range(5):
+            digits.append(n % 85)
+            n //= 85
+        enc = bytes(d + 0x21 for d in reversed(digits))
+        out += enc if k == 4 else enc[: k + 1]
+    return bytes(out) + b"~>"
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    """Writer-side RunLength (fixtures): literal chunks only — valid per
+    spec §7.4.5, no attempt at actual compression."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)
+    return bytes(out)
 
 
 def _undo_predictor(data: bytes, predictor: int, columns: int, colors: int, bpc: int) -> bytes:
@@ -957,6 +1161,7 @@ def write_pdf(
     compress: bool = False,
     xref_stream: bool = False,
     encrypt: bool | str = False,
+    content_filter: str | None = None,
 ) -> bytes:
     """Minimal PDF writer for fixtures and page re-serialization.
 
@@ -1009,7 +1214,16 @@ def write_pdf(
                 parts.append(f"({_escape(text)}) Tj".encode())
             parts.append(b"ET")
             content = b"\n".join(parts)
-        if compress:
+        if content_filter is not None:
+            encode, fname = {
+                "lzw": (_lzw_encode, "/LZWDecode"),
+                "ahx": (lambda d: d.hex().encode() + b">", "/ASCIIHexDecode"),
+                "a85": (_ascii85_encode, "/ASCII85Decode"),
+                "rl": (_runlength_encode, "/RunLengthDecode"),
+            }[content_filter]
+            body = encode(content)
+            filter_part = f"/Filter {fname} "
+        elif compress:
             body = zlib.compress(content)
             filter_part = "/Filter /FlateDecode "
         else:

@@ -337,3 +337,44 @@ def test_aes_fips197_vectors():
     )
     msg = b"arbitrary length payload round-trips through CBC with padding"
     assert aes_cbc_decrypt(k, aes_cbc_encrypt(k, iv, msg)) == msg
+
+
+# ------------------------------------------------------------ stream filters
+
+
+@pytest.mark.parametrize("cfilter", ["lzw", "ahx", "a85", "rl"])
+@pytest.mark.parametrize("xref_stream", [False, True])
+def test_filter_roundtrip(cfilter, xref_stream):
+    """LZW / ASCIIHex / ASCII85 / RunLength content streams decode to the
+    same words as plain (spec §7.4.2-7.4.5)."""
+    data = write_pdf(PAGES, xref_stream=xref_stream, content_filter=cfilter)
+    reader = PdfReader(data)
+    assert [w["text"] for w in reader.page_words(0)] == ["hello", "world"]
+    assert [w["text"] for w in reader.page_words(1)] == ["page"]
+
+
+def test_lzw_spec_example():
+    """The PDF spec's own §7.4.4 worked example: codes
+    256 45 258 258 65 259 66 257 decode to the stated byte sequence."""
+    from deepdoctection_ray.kernels.pdf import _lzw_decode, _lzw_encode
+
+    plain = bytes([0x45] * 5 + [0x65] + [0x45] * 3 + [0x66])
+    enc = _lzw_encode(plain)
+    assert _lzw_decode(enc) == plain
+    # table growth past one width switch (9→10 bits needs 254 new entries)
+    big = bytes(range(256)) * 12
+    assert _lzw_decode(_lzw_encode(big)) == big
+
+
+def test_filter_decoders_edge_cases():
+    from deepdoctection_ray.kernels.pdf import (
+        _ascii85_decode,
+        _ascii_hex_decode,
+        _runlength_decode,
+    )
+
+    assert _ascii_hex_decode(b"48 65 6C 6C 6F >garbage-after-eod") == b"Hello"
+    assert _ascii_hex_decode(b"4") == b"@"  # odd digit pads 0
+    assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert _ascii85_decode(b"87cUR~>") == b"Hell"
+    assert _runlength_decode(bytes([2]) + b"abc" + bytes([254]) + b"x" + bytes([128])) == b"abc" + b"x" * 3
