@@ -1059,6 +1059,15 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
             seq = cand
             continue
         emit(table[seq], width)
+        if next_code > 4095:
+            # 12-bit code space exhausted: the spec requires a clear code
+            # before any further table growth
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+            seq = bytes([byte])
+            continue
         table[cand] = next_code
         next_code += 1
         # decoder grows its table AFTER consuming this code; widths must

@@ -378,3 +378,29 @@ def test_filter_decoders_edge_cases():
     assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
     assert _ascii85_decode(b"87cUR~>") == b"Hell"
     assert _runlength_decode(bytes([2]) + b"abc" + bytes([254]) + b"x" + bytes([128])) == b"abc" + b"x" * 3
+
+
+def test_lzw_roundtrip_fuzz():
+    from hypothesis import given, settings, strategies as st
+
+    from deepdoctection_ray.kernels.pdf import _lzw_decode, _lzw_encode
+
+    @settings(max_examples=200, deadline=4000)
+    @given(st.binary(min_size=0, max_size=2000))
+    def roundtrip(data):
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+    roundtrip()
+
+
+def test_lzw_table_exhaustion_emits_clear():
+    """>4096 table entries force a mid-stream clear code; round trip stays
+    exact (12-bit code-space limit, spec §7.4.4)."""
+    import random as _random
+
+    from deepdoctection_ray.kernels.pdf import _lzw_decode, _lzw_encode
+
+    rng = _random.Random(3)
+    data = bytes(rng.randrange(256) for _ in range(16384))
+    enc = _lzw_encode(data)
+    assert _lzw_decode(enc) == data
