@@ -675,10 +675,11 @@ def q_lang_id(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def _lang_sql() -> str:
+def _lang_sql(rel: str = "documents") -> str:
     """Stopword-scorer oracle: same token rule ([a-zA-Z]+ runs, lowercased),
     same per-language hit ratio, same strict-greater replacement scanning
-    languages alphabetically (ties keep the earlier language)."""
+    languages alphabetically (ties keep the earlier language). ``rel`` lets
+    composed oracles (q_curation_pipeline) run it over an upstream CTE."""
     from .stages.text_stats import STOPWORDS
 
     score_exprs = []
@@ -693,7 +694,7 @@ def _lang_sql() -> str:
     pred_cases = " ".join(f"WHEN s_{l} = best THEN '{l}'" for l in langs)
     return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM {rel}
 ),
 scored AS (
   SELECT doc_id, toks, {', '.join(score_exprs)} FROM toks
@@ -745,14 +746,17 @@ def q_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
     return dd.dedup_minhash(docs, "text", "doc_id", threshold=0.5, num_hashes=128, bands=64)
 
 
-Q_DEDUP_MINHASH_SQL = r"""
+def _minhash_pairs_sql(rel: str = "documents") -> str:
+    """Brute-force 3-word-shingle Jaccard pair truth at τ=0.5 over ``rel`` —
+    shared by the minhash, cluster and curation oracles."""
+    return r"""
 -- exact 3-word-shingle Jaccard ground truth the banded-LSH + exact-verify
 -- pipeline must reproduce. Candidate generation is LOSSLESS pruning, not an
 -- approximation: jaccard >= 0.5 > 0 requires a non-empty intersection, i.e.
 -- at least one shared shingle — exactly the equality the self-join keys on
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
-  FROM documents
+  FROM """ + rel + r"""
 ),
 sh AS (
   SELECT doc_id,
@@ -775,6 +779,9 @@ FROM cand c JOIN dsh da ON c.id_a = da.doc_id JOIN dsh db ON c.id_b = db.doc_id
 WHERE len(list_intersect(da.g, db.g))::DOUBLE
       / (len(da.g) + len(db.g) - len(list_intersect(da.g, db.g))) >= 0.5
 """
+
+
+Q_DEDUP_MINHASH_SQL = _minhash_pairs_sql()
 
 
 def q_dedup_jaccard(sf_dir: str) -> ray.data.Dataset:
@@ -858,6 +865,110 @@ reach AS (
 SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
 """
 )
+
+
+def q_curation_pipeline(sf_dir: str) -> ray.data.Dataset:
+    """Flagship COMPOSITION: the end-to-end corpus-curation chain a training
+    pipeline runs — quality filter (tokens ≥ 5, punct ≤ 0.2) → language
+    filter (stopword scorer = 'en') → exact dedup (min-doc_id-wins) →
+    near-dup CLUSTER drop (minhash τ=0.5 pairs → connected components, only
+    the cluster-min survives). Every stage is the already-oracled operator;
+    the composed SQL chains the same CTEs, so the final kept set must match
+    end to end, not just stage by stage. Streaming shape: filters are
+    block-local, dedup/cluster reuse the bucketed patterns, survivor/loser
+    sets apply via bucketed semi/anti hash joins."""
+    from .functions.joins import drop_empty_blocks, hash_join
+    from .stages.graph import connected_components
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def quality(batch: pa.Table) -> pa.Table:
+        scored = ts.quality_stats(batch)
+        mask = pc.and_(
+            pc.greater_equal(scored["n_tokens"], pa.scalar(5, pa.int64())),
+            pc.less_equal(scored["punct_ratio"], pa.scalar(0.2)),
+        )
+        return scored.filter(mask).select(["doc_id", "text", "n_tokens"])
+
+    cur = docs.map_batches(quality, batch_format="pyarrow")
+    cur = cur.map_batches(ts.LanguageId, batch_format="pyarrow", concurrency=(1, 4))
+
+    def keep_en(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["lang_pred"], "en")).select(
+            ["doc_id", "text", "n_tokens"]
+        )
+
+    cur = cur.map_batches(keep_en, batch_format="pyarrow")
+
+    survivors = drop_empty_blocks(
+        dd.dedup_exact(cur, "text", "doc_id").select_columns(["doc_id"])
+    )
+    cur = hash_join(cur, survivors, "doc_id", how="semi")
+
+    pairs = dd.dedup_minhash(cur, "text", "doc_id", threshold=0.5, num_hashes=128, bands=64)
+    clusters = connected_components(pairs)
+
+    def losers(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch["doc_id"], batch["cluster_id"])
+        return batch.filter(keep).select(["doc_id"])
+
+    loser_ids = drop_empty_blocks(
+        clusters.map_batches(losers, batch_format="pyarrow", batch_size=None)
+    )
+    kept = hash_join(cur, loser_ids, "doc_id", how="anti")
+    return kept.select_columns(["doc_id", "n_tokens"])
+
+
+def _curation_sql() -> str:
+    return (
+        r"""
+-- the composed curation chain: each CTE is the SAME logic as the stage's own
+-- oracle (quality filter / stopword lang-id / min-id exact dedup / minhash
+-- pair truth + recursive transitive closure), chained end to end
+WITH RECURSIVE base0 AS (
+  SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE len(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 5
+    AND round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+              / greatest(length(text), 1)::DOUBLE, 6) <= 0.2
+),
+lng AS ("""
+        + _lang_sql("base0")
+        + r"""),
+base1 AS (
+  SELECT b.doc_id, b.text, b.n_tokens
+  FROM base0 b JOIN lng ON b.doc_id = lng.doc_id
+  WHERE lng.lang_pred = 'en'
+),
+base2 AS (
+  SELECT doc_id, text, n_tokens FROM base1
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+),
+prs AS ("""
+        + _minhash_pairs_sql("base2")
+        + r"""),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM prs
+  UNION
+  SELECT id_b, id_a FROM prs
+),
+walk(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+),
+reach AS (
+  SELECT u, v FROM walk
+  UNION
+  SELECT DISTINCT u, u FROM edges
+),
+clus AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+SELECT b.doc_id, b.n_tokens
+FROM base2 b LEFT JOIN clus c ON b.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.cluster_id = b.doc_id
+"""
+    )
 
 
 def q_pii_redact(sf_dir: str) -> ray.data.Dataset:
@@ -2118,6 +2229,7 @@ def build_queries() -> dict:
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_dup_clusters": q_dup_clusters,
+        "q_curation_pipeline": q_curation_pipeline,
         "q_pii_redact": q_pii_redact,
         "q_bm25_search": q_bm25_search,
         "q_profile_docs": q_profile_docs,
@@ -2186,6 +2298,7 @@ def build_oracle_sql() -> dict:
         "q_dedup_minhash": Q_DEDUP_MINHASH_SQL,
         "q_dedup_jaccard": Q_DEDUP_JACCARD_SQL,
         "q_dup_clusters": Q_DUP_CLUSTERS_SQL,
+        "q_curation_pipeline": _curation_sql(),
         "q_pii_redact": Q_PII_SQL,
         "q_bm25_search": Q_BM25_SQL,
         "q_profile_docs": Q_PROFILE_DOCS_SQL,
