@@ -41,6 +41,9 @@ QUERY_NAMES = [
     "q_extract_documents",
     "q_dedup_minhash",
     "q_dedup_jaccard",
+    "q_bm25_search",
+    "q_pii_redact",
+    "q_dup_clusters",
 ]
 
 
