@@ -971,6 +971,94 @@ WHERE c.doc_id IS NULL OR c.cluster_id = b.doc_id
     )
 
 
+def q_lm_xent(sf_dir: str) -> ray.data.Dataset:
+    """Bigram-LM cross-entropy quality score (stages/lm.ngram_cross_entropy):
+    the corpus trains its own add-one-smoothed bigram model (bucketed count
+    tables), then the exploded bigram stream hash-joins the counts and
+    reduces -avg(ln p) per doc. The oracle rebuilds the identical model and
+    expression in SQL."""
+    from .stages.lm import ngram_cross_entropy
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_cross_entropy(docs, "text", "doc_id")
+
+
+Q_LM_XENT_SQL = r"""
+-- identical corpus-trained bigram LM: same tokenization (\s+ split), same
+-- first-position C(w1) denominator, same add-one smoothing over the
+-- distinct-token vocabulary, same -avg(ln p) reduction per doc
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)
+),
+bg0 AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]) AS bs,
+         list_transform(generate_series(1, len(t) - 1), i -> t[i]) AS w1s
+  FROM toks WHERE len(t) >= 2
+),
+bg AS (SELECT doc_id, unnest(bs) AS b, unnest(w1s) AS w1 FROM bg0),
+cbg AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
+cw1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(-avg(ln((c12 + 1.0) / (c1 + v))), 6) AS xent
+FROM bg JOIN cbg USING (b) JOIN cw1 USING (w1) CROSS JOIN uni
+GROUP BY doc_id
+"""
+
+
+def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
+    """LEFT OUTER join with null-fill: per-customer count of high-value
+    orders (o_totalprice > 300000), customers with none kept at 0 — the
+    dimension-preserving join shape q5/q3 (inner) never exercises. Orders
+    pre-aggregate per custkey BEFORE the join (one row per customer enters
+    the exchange, the skew-safe order)."""
+    from .functions.bucketed import bucketed_map_groups
+    from .functions.joins import drop_empty_blocks, hash_join
+
+    cust = _t(sf_dir, "customer", columns=["c_custkey"])
+    orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater(batch["o_totalprice"], pa.scalar(300000.0)))
+        t = kept.group_by("o_custkey").aggregate([([], "count_all")])
+        return t.rename_columns(["c_custkey", "partial"])
+
+    def combine(g: pa.Table) -> pa.Table:
+        t = g.group_by("c_custkey").aggregate([("partial", "sum")])
+        return t.rename_columns(["c_custkey", "n_big_orders"])
+
+    part = orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    agg = drop_empty_blocks(bucketed_map_groups(part, ["c_custkey"], combine))
+    joined = hash_join(cust, agg, "c_custkey", how="left")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(batch["n_big_orders"], 0)
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "n_big_orders": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow", batch_size=None)
+
+
+Q_CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c_custkey,
+       coalesce(o.n, 0) AS n_big_orders
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS n FROM orders
+  WHERE o_totalprice > 300000 GROUP BY o_custkey
+) o ON o.o_custkey = c_custkey
+"""
+
+
 def q_pii_redact(sf_dir: str) -> ray.data.Dataset:
     """PII scrub (stages/pii.redact_pii): RE2-vectorized email/SSN/phone/IPv4
     redaction with per-category counts. The synthetic corpus text is PII-free,
@@ -2230,6 +2318,8 @@ def build_queries() -> dict:
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_dup_clusters": q_dup_clusters,
         "q_curation_pipeline": q_curation_pipeline,
+        "q_lm_xent": q_lm_xent,
+        "q_customer_order_counts": q_customer_order_counts,
         "q_pii_redact": q_pii_redact,
         "q_bm25_search": q_bm25_search,
         "q_profile_docs": q_profile_docs,
@@ -2299,6 +2389,8 @@ def build_oracle_sql() -> dict:
         "q_dedup_jaccard": Q_DEDUP_JACCARD_SQL,
         "q_dup_clusters": Q_DUP_CLUSTERS_SQL,
         "q_curation_pipeline": _curation_sql(),
+        "q_lm_xent": Q_LM_XENT_SQL,
+        "q_customer_order_counts": Q_CUSTOMER_ORDER_COUNTS_SQL,
         "q_pii_redact": Q_PII_SQL,
         "q_bm25_search": Q_BM25_SQL,
         "q_profile_docs": Q_PROFILE_DOCS_SQL,
