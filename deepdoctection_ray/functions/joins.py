@@ -162,9 +162,11 @@ def asof_join(
     right_value_columns: list[str],
     suffix: str = "_right",
     num_buckets: int = 32,
+    direction: str = "backward",
 ) -> ray.data.Dataset:
-    """Backward as-of join: for each left row, the latest right row of the
-    same key with ``right.ts <= left.ts``.
+    """As-of join: for each left row, the nearest right row of the same key —
+    ``backward`` (latest right.ts <= left.ts, the default), ``forward``
+    (earliest right.ts >= left.ts), or ``nearest``.
 
     The two sides co-partition by ``hash(key) % num_buckets`` (a ``side``
     column keeps them apart inside the bucket) and each bucket runs ONE
@@ -198,7 +200,7 @@ def asof_join(
             right_on=ts_column + suffix,
             left_by=key_column,
             right_by=key_column,
-            direction="backward",
+            direction=direction,
         )
         return merged
 

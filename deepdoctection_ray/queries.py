@@ -420,6 +420,36 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
 """
 
 
+def q_events_asof_forward(sf_dir: str) -> ray.data.Dataset:
+    """FORWARD as-of join: for each purchase, the EARLIEST click of the same
+    user at or after it (the attribution-lookahead direction; same bucketed
+    ``merge_asof`` kernel, ``direction='forward'``)."""
+    from .functions.joins import asof_join
+
+    ev = _t(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], pa.scalar("purchase"))),
+        batch_format="pyarrow",
+    )
+    clicks = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], pa.scalar("click"))),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(
+        purchases, clicks, "user_id", "ts", ["event_id", "value"], direction="forward"
+    )
+    return joined.select_columns(["event_id", "user_id", "ts", "event_id_right", "value_right"])
+
+
+Q_ASOF_FORWARD_SQL = """
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS event_id_right, r.value AS value_right
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
 def q_approx_distinct_users(sf_dir: str) -> ray.data.Dataset:
     """HLL approximate distinct users per event type (mergeable sketch; one
     4-KB register array per batch crosses the shuffle, never the raw keys)."""
@@ -2304,6 +2334,7 @@ def build_queries() -> dict:
         "q_events_hourly": q_events_hourly,
         "q_events_sliding": q_events_sliding,
         "q_events_asof": q_events_asof,
+        "q_events_asof_forward": q_events_asof_forward,
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_doc_tokens": q_doc_tokens,
         "q_doc_quality": q_doc_quality,
@@ -2374,6 +2405,7 @@ def build_oracle_sql() -> dict:
         "q_events_hourly": Q_HOURLY_SQL,
         "q_events_sliding": Q_SLIDING_SQL,
         "q_events_asof": Q_ASOF_SQL,
+        "q_events_asof_forward": Q_ASOF_FORWARD_SQL,
         "q_doc_tokens": Q_DOC_TOKENS_SQL,
         "q_doc_quality": Q_DOC_QUALITY_SQL,
         "q_quality_filter": Q_QUALITY_FILTER_SQL,
