@@ -67,8 +67,10 @@ def bm25_search(
         return pa.table(row)
 
     stats = docs.map_batches(partials, batch_format="pyarrow", batch_size=None)
-    totals = stats.sum(["n_docs", "sum_dl"] + df_cols)
-    n_docs = int(totals["sum(n_docs)"])
+    # Dataset.sum returns None (not a zero dict) when no partial rows exist —
+    # an empty corpus must still yield an empty, correctly-typed result
+    totals = stats.sum(["n_docs", "sum_dl"] + df_cols) or {}
+    n_docs = int(totals.get("sum(n_docs)") or 0)
     if n_docs == 0:
         return ray.data.from_arrow(
             pa.table({id_column: pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
