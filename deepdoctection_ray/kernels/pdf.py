@@ -185,7 +185,7 @@ class _EncryptionParams:
     def __init__(self, id0: bytes, mode: str = "rc4") -> None:
         import hashlib
 
-        assert mode in ("rc4", "aesv2", "aes256")
+        assert mode in ("rc4", "rc4v4", "aesv2", "aes256")
         self.id0 = id0
         self.mode = mode
         self.p = -44
@@ -214,7 +214,7 @@ class _EncryptionParams:
             )
             self.perms_entry = aes_cbc_encrypt_nopad(self.file_key, bytes(16), perms_blk)[16:]
         else:
-            self.v, self.r = (4, 4) if mode == "aesv2" else (2, 3)
+            self.v, self.r = (4, 4) if mode in ("aesv2", "rc4v4") else (2, 3)
             self.key_len = 16
             self.o_entry = _std_owner_entry(b"", b"", self.r, self.key_len)
             self.file_key = _std_file_key(
@@ -228,7 +228,7 @@ class _EncryptionParams:
         return hashlib.md5(self.id0 + num.to_bytes(4, "little")).digest()
 
     def encrypt_stream(self, num: int, body: bytes) -> bytes:
-        if self.mode == "rc4":
+        if self.mode in ("rc4", "rc4v4"):
             return _rc4(_object_key(self.file_key, num, 0), body)
         from .aes import aes_cbc_encrypt
 
@@ -248,6 +248,15 @@ class _EncryptionParams:
             return (
                 f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
                 f"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+                f"/StmF /StdCF /StrF /StdCF "
+                f"/P {self.p} /O <{self.o_entry.hex()}> /U <{self.u_entry.hex()}> >>"
+            ).encode()
+        if self.mode == "rc4v4":
+            # V4 RC4 carrying the key length ONLY in StdCF /Length (bytes) —
+            # the common real-file shape; no document-level /Length at all
+            return (
+                f"<< /Filter /Standard /V 4 /R 4 "
+                f"/CF << /StdCF << /CFM /V2 /AuthEvent /DocOpen /Length 16 >> >> "
                 f"/StmF /StdCF /StrF /StdCF "
                 f"/P {self.p} /O <{self.o_entry.hex()}> /U <{self.u_entry.hex()}> >>"
             ).encode()
@@ -583,7 +592,16 @@ class PdfReader:
                 self._crypt_method = "rc4"
             else:
                 raise PdfError(f"unsupported crypt filter method {cfm}")
-            key_len = int(self.resolve(enc.get("/Length", 128))) // 8
+            # the crypt filter's own /Length wins when present — real V4
+            # files commonly carry it ONLY there, in BYTES (values <= 40 are
+            # read as bytes per the common convention; larger values as bits);
+            # fall back to the document-level /Length (bits)
+            cf_len = self.resolve(stdcf.get("/Length"))
+            if cf_len is not None:
+                cf_len = int(cf_len)
+                key_len = cf_len if cf_len <= 40 else cf_len // 8
+            else:
+                key_len = int(self.resolve(enc.get("/Length", 128))) // 8
         elif v in (1, 2) and r in (2, 3):
             self._crypt_method = "rc4"
             key_len = int(self.resolve(enc.get("/Length", 40))) // 8 if v == 2 else 5
@@ -1029,7 +1047,10 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
                 raise PdfError("corrupt LZW stream (code out of range)")
             out += entry
             prev = entry
-            if len(table) + early - 1 >= (1 << width) and width < 12:
+            # standard (xpdf/pdf.js/pdfminer) convention: with early=1 the
+            # switch to 10 bits happens at table size 511, i.e. when
+            # len(table) + early reaches 2^width
+            if len(table) + early >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)
 
@@ -1070,15 +1091,16 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
             continue
         table[cand] = next_code
         next_code += 1
-        # decoder grows its table AFTER consuming this code; widths must
-        # switch in lockstep with its (len(table) + early - 1) rule
-        if next_code + early - 1 >= (1 << width) + 1 and width < 12:
+        # decoder grows its table AFTER consuming this code (its table is one
+        # entry behind next_code); widths must switch in lockstep with its
+        # (len(table) + early) rule
+        if next_code + early >= (1 << width) + 1 and width < 12:
             width += 1
         seq = bytes([byte])
     if seq:
         emit(table[seq], width)
         next_code += 1
-        if next_code + early - 1 >= (1 << width) + 1 and width < 12:
+        if next_code + early >= (1 << width) + 1 and width < 12:
             width += 1
     emit(257, width)
     if bits:

@@ -238,7 +238,7 @@ def test_pdf15_fixture_corpus_extracts():
 # ------------------------------------------------------------- encryption
 
 
-@pytest.mark.parametrize("mode", ["rc4", "aesv2", "aes256"])
+@pytest.mark.parametrize("mode", ["rc4", "rc4v4", "aesv2", "aes256"])
 @pytest.mark.parametrize("compress", [False, True])
 @pytest.mark.parametrize("xref_stream", [False, True])
 def test_encrypted_roundtrip(mode, compress, xref_stream):
@@ -353,17 +353,67 @@ def test_filter_roundtrip(cfilter, xref_stream):
     assert [w["text"] for w in reader.page_words(1)] == ["page"]
 
 
+def _unpack_9bit(enc: bytes, n_codes: int) -> list:
+    """Read the first n_codes 9-bit codes of an LZW bitstream (valid while
+    the table stays below the 9→10 switch)."""
+    bitbuf = int.from_bytes(enc, "big")
+    total_bits = 8 * len(enc)
+    return [(bitbuf >> (total_bits - 9 * (i + 1))) & 0x1FF for i in range(n_codes)]
+
+
 def test_lzw_spec_example():
-    """The PDF spec's own §7.4.4 worked example: codes
-    256 45 258 258 65 259 66 257 decode to the stated byte sequence."""
+    """The PDF spec's own §7.4.4 worked example: input bytes
+    45 45 45 45 45 65 45 45 45 66 encode to EXACTLY the code sequence
+    256 45 258 258 65 259 66 257 (all 9-bit here), and decode back."""
     from deepdoctection_ray.kernels.pdf import _lzw_decode, _lzw_encode
 
-    plain = bytes([0x45] * 5 + [0x65] + [0x45] * 3 + [0x66])
+    plain = bytes([45] * 5 + [65] + [45] * 3 + [66])
     enc = _lzw_encode(plain)
+    assert _unpack_9bit(enc, 8) == [256, 45, 258, 258, 65, 259, 66, 257]
     assert _lzw_decode(enc) == plain
     # table growth past one width switch (9→10 bits needs 254 new entries)
     big = bytes(range(256)) * 12
     assert _lzw_decode(_lzw_encode(big)) == big
+
+
+def test_lzw_decodes_standard_convention_stream():
+    """Cross-width-boundary stream packed by an INDEPENDENT encoder following
+    the xpdf/pdf.js/pdfminer convention — the width of the code being read is
+    determined by (decoder table size + EarlyChange): with early=1 the 10-bit
+    switch happens at table size 511, not 512. A decoder with the off-by-one
+    convention raises 'code out of range' on this stream."""
+    from deepdoctection_ray.kernels.pdf import _lzw_decode
+
+    # input with no repeats early on -> one new table entry per code, so the
+    # stream marches straight through the 9->10 and 10->11 boundaries
+    data = bytes((i * 7 + (i >> 8)) % 256 for i in range(4000))
+
+    # independent encoder: emit literal single-byte codes only (always valid
+    # LZW: the encoder may choose not to use long matches), growing the
+    # simulated decoder table by one entry per emitted code
+    out = bitbuf = bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal out, bitbuf, bits
+        bitbuf = (bitbuf << width) | code
+        bits += width
+
+    early = 1
+    table_len = 258
+    width = 9
+    emit(256, width)
+    for i, b in enumerate(data):
+        emit(b, width)
+        if i > 0:
+            table_len += 1  # decoder appends prev+entry[:1] per non-first code
+        if table_len + early >= (1 << width) and width < 12:
+            width += 1
+    emit(257, width)
+    if bits % 8:
+        bitbuf <<= 8 - (bits % 8)
+        bits += 8 - (bits % 8)
+    enc = bitbuf.to_bytes(bits // 8, "big")
+    assert _lzw_decode(enc) == data
 
 
 def test_filter_decoders_edge_cases():
