@@ -933,7 +933,12 @@ def q_curation_pipeline(sf_dir: str) -> ray.data.Dataset:
     survivors = drop_empty_blocks(
         dd.dedup_exact(cur, "text", "doc_id").select_columns(["doc_id"])
     )
-    cur = hash_join(cur, survivors, "doc_id", how="semi")
+    # CLAUDE.md invariant: scrub the join output before it feeds further
+    # joins/groupbys (empty sort partitions emit schema-less blocks Acero
+    # rejects); materialize because `cur` fans out to three consumers
+    # (minhash pairs + the anti join below) — post-filter it is small, and
+    # without pinning the LanguageId actor-pool stage re-executes per consumer
+    cur = drop_empty_blocks(hash_join(cur, survivors, "doc_id", how="semi")).materialize()
 
     pairs = dd.dedup_minhash(cur, "text", "doc_id", threshold=0.5, num_hashes=128, bands=64)
     clusters = connected_components(pairs)

@@ -72,10 +72,15 @@ def bm25_search(
     totals = stats.sum(["n_docs", "sum_dl"] + df_cols) or {}
     n_docs = int(totals.get("sum(n_docs)") or 0)
     if n_docs == 0:
+        sch = docs.schema()
+        id_type = pa.int64()
+        if sch is not None and id_column in sch.names:
+            id_type = sch.types[sch.names.index(id_column)]
         return ray.data.from_arrow(
-            pa.table({id_column: pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
+            pa.table({id_column: pa.array([], id_type), "score": pa.array([], pa.float64())})
         )
-    avgdl = float(totals["sum(sum_dl)"]) / n_docs
+    # all-empty documents: dl is 0 everywhere, so dl/avgdl must be 0, not 0/0
+    avgdl = max(float(totals["sum(sum_dl)"]) / n_docs, 1e-9)
     idf = np.array(
         [
             np.log(1.0 + (n_docs - totals[f"sum({c})"] + 0.5) / (totals[f"sum({c})"] + 0.5))

@@ -64,3 +64,24 @@ def test_bm25_empty_corpus(ray_session):
     )
     out = bm25_search(empty, TERMS, k=5)
     assert out.count() == 0
+
+
+def test_bm25_empty_corpus_preserves_id_type(ray_session):
+    import pyarrow as pa
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.string()), "text": pa.array([], pa.string())})
+    )
+    out = bm25_search(empty, TERMS, k=5)
+    assert out.count() == 0
+    sch = out.schema()
+    assert sch.types[sch.names.index("doc_id")] == pa.string()
+
+
+def test_bm25_all_zero_length_docs(ray_session):
+    """Every document tokenless: avgdl would be 0 — scores must be 0.0, not
+    NaN (the dl/avgdl norm term must not produce 0/0)."""
+    docs = [{"doc_id": 1, "text": ""}, {"doc_id": 2, "text": "   "}]
+    got = bm25_search(ray.data.from_items(docs), TERMS, k=2).to_pandas()
+    assert list(got["score"]) == [0.0, 0.0]
+    assert list(got["doc_id"]) == [1, 2]
