@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 FIXTURE_DIR = "/tmp/ddray_fixtures"
-_VERSION = 10
+_VERSION = 11
 
 TRANSCRIPTS_DIR = "/tmp/ddray_transcripts_small"
 N_CONVS, SEED, HOT = 60, 42, 10
@@ -106,6 +106,7 @@ def ensure_fixtures() -> str:
     from .stages.classify import SequenceClassifier
     from .stages.extract import TurnExtractor
     from .synth import (
+        make_boilerplate_docs,
         make_deskew_docs,
         make_entity_docs,
         make_layout_docs,
@@ -149,6 +150,7 @@ def ensure_fixtures() -> str:
     pq.write_table(make_table_docs(N_TABLE, seed=SEED), path("table_docs"))
     pq.write_table(make_pubtables_docs(N_PUBTABLES, seed=SEED), path("pubtables_docs"))
     pq.write_table(make_neardup_vecs(), path("neardup_vecs"))
+    pq.write_table(make_boilerplate_docs(), path("boilerplate_docs"))
     pq.write_table(make_deskew_docs(100, seed=SEED), path("deskew_docs"))
     pq.write_table(make_entity_docs(400, seed=SEED), path("entity_docs"))
     link_docs, link_truth = make_link_docs(N_LINKS, seed=SEED)

@@ -838,6 +838,7 @@ def dedup_segments(
     id_column: str = "doc_id",
     window: int = 20,
     num_buckets: int = 64,
+    keep_text: bool = False,
 ) -> ray.data.Dataset:
     """Cross-document repetition removal at sub-document granularity (the
     paragraph/line-dedup step of an LLM data pipeline, cf. Lee et al. 2022
@@ -846,16 +847,58 @@ def dedup_segments(
     the FIRST occurrence of every distinct segment survives, "first" =
     smallest ``(id, seg_idx)`` — deterministic and oracle-matchable.
 
-    The split is a vectorized ``map_batches`` explode; first-wins runs on the
-    bucketed pattern keyed by the segment text (ONE vectorized
-    drop-duplicates per hash bucket, no per-segment Python call). Output:
-    ``(id, seg_idx, seg)`` surviving rows."""
+    The exchange ships ONLY ``(id, seg_idx, seg_key)`` where ``seg_key`` is
+    the md5 of the segment — the segment TEXT never crosses the shuffle (the
+    same pre-hash that makes :func:`dedup_exact` scale; at 100 TB of 20-word
+    segments this cuts the dominant shuffle's bytes several-fold). First-wins
+    runs on the bucketed pattern keyed by ``seg_key`` (ONE vectorized
+    drop-duplicates per hash bucket, no per-segment Python call).
+
+    Output: ``(id, seg_idx, seg_key)`` surviving rows; with
+    ``keep_text=True`` a second explode pass re-derives the survivors' text
+    via a bucketed semi join on the (id, seg_idx) row key and the output is
+    ``(id, seg_idx, seg)`` instead (costs one more corpus scan + one
+    survivor-sized shuffle — only pay it when downstream needs the text)."""
     import pandas as pd
 
     from ..functions.bucketed import bucketed_map_groups
 
-    def explode(batch: pa.Table) -> pa.Table:
-        ids, idxs, segs = [], [], []
+    def explode_keys(batch: pa.Table) -> pa.Table:
+        ids, idxs, keys = [], [], []
+        for i, t in zip(batch[id_column].to_pylist(), batch[text_column].to_pylist()):
+            toks = (t or "").split()
+            n_segs = max(1, -(-len(toks) // window))
+            for s in range(n_segs):
+                ids.append(i)
+                idxs.append(s)
+                keys.append(md5_hex(" ".join(toks[s * window : (s + 1) * window])))
+        return pa.table(
+            {
+                id_column: pa.array(ids, batch[id_column].type),
+                "seg_idx": pa.array(idxs, pa.int64()),
+                "seg_key": pa.array(keys, pa.string()),
+            }
+        )
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["seg_key", id_column, "seg_idx"], kind="stable").drop_duplicates(
+            "seg_key", keep="first"
+        )
+
+    survivors = bucketed_map_groups(
+        ds.map_batches(explode_keys, batch_format="pyarrow"),
+        ["seg_key"],
+        first_wins,
+        num_buckets,
+        batch_format="pandas",
+    )
+    if not keep_text:
+        return survivors
+
+    from ..functions.joins import drop_empty_blocks, hash_join
+
+    def explode_text(batch: pa.Table) -> pa.Table:
+        ids, idxs, segs, rks = [], [], [], []
         for i, t in zip(batch[id_column].to_pylist(), batch[text_column].to_pylist()):
             toks = (t or "").split()
             n_segs = max(1, -(-len(toks) // window))
@@ -863,23 +906,27 @@ def dedup_segments(
                 ids.append(i)
                 idxs.append(s)
                 segs.append(" ".join(toks[s * window : (s + 1) * window]))
+                rks.append(f"{i}#{s}")
         return pa.table(
             {
                 id_column: pa.array(ids, batch[id_column].type),
                 "seg_idx": pa.array(idxs, pa.int64()),
                 "seg": pa.array(segs, pa.string()),
+                "row_key": pa.array(rks, pa.string()),
             }
         )
 
-    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["seg", id_column, "seg_idx"], kind="stable").drop_duplicates(
-            "seg", keep="first"
-        )
+    def survivor_keys(batch: pa.Table) -> pa.Table:
+        rks = [
+            f"{i}#{s}"
+            for i, s in zip(batch[id_column].to_pylist(), batch["seg_idx"].to_pylist())
+        ]
+        return pa.table({"row_key": pa.array(rks, pa.string())})
 
-    return bucketed_map_groups(
-        ds.map_batches(explode, batch_format="pyarrow"),
-        ["seg"],
-        first_wins,
-        num_buckets,
-        batch_format="pandas",
+    keys = drop_empty_blocks(
+        survivors.map_batches(survivor_keys, batch_format="pyarrow")
     )
+    rejoined = hash_join(
+        ds.map_batches(explode_text, batch_format="pyarrow"), keys, "row_key", how="semi"
+    )
+    return rejoined.select_columns([id_column, "seg_idx", "seg"])

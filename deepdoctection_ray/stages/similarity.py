@@ -6,13 +6,19 @@
   the full score matrix), then a single small groupby reduces to the global
   top-k. This is the 100-TB-safe shape: per-batch partial top-k ≡ combiner,
   and the shuffle carries O(queries x k x batches) tiny rows.
-- :func:`knn_lsh` — the scale path: random-hyperplane bucketing with
-  multi-probe (flip each signature bit once), brute-force only within probed
-  buckets. Recall is tested against :func:`knn_brute`.
+- :func:`knn_lsh` — the scale path: hyperplane bucketing with multi-probe
+  (flip each signature bit once), brute-force only within probed buckets.
+  Signatures use INTEGER hyperplanes over micro-quantized embeddings
+  (``floor(v * 1e6)``), so the whole bucketing is exact integer arithmetic —
+  bit-reproducible in DuckDB, which is what the ``q_knn_lsh`` oracle rebuilds.
 - :func:`knn_ivf` — inverted-file ANN: deterministic distributed k-means
   (seeded init, Lloyd iterations via per-batch partial sums — only
   ``n_centroids × n_batches`` tiny rows reach the driver), then queries probe
   their ``n_probe`` nearest centroid cells and brute-force only those.
+
+All three collect the query vectors in ONE pushed-down id-filtered pass (or
+accept them directly via ``query_vectors`` and skip the scan entirely); none
+runs an extra dataset execution just to learn the dimension.
 """
 
 from __future__ import annotations
@@ -75,138 +81,20 @@ class _BatchTopK:
         return _topk_table(out_q, out_i, out_c, batch[self._id].type, batch[self._id].type)
 
 
-def knn_brute(
-    ds: ray.data.Dataset,
-    query_ids: list,
-    k: int = 10,
-    embedding_column: str = "embedding",
-    id_column: str = "vec_id",
-) -> ray.data.Dataset:
-    """Exact cosine top-k for the vectors whose ids are ``query_ids``.
+def _collect_queries(ds, query_ids, id_column, embedding_column, query_vectors=None):
+    """Query (id, vector) rows, sorted by id.
 
-    Result: ``(query_id, vec_id, cosine)`` sorted by (query_id, -cosine,
-    vec_id) with deterministic tie-breaks; k rows per query.
+    ``query_vectors`` (a ``{id: vector}`` mapping) skips the corpus scan
+    entirely; otherwise ONE pushed-down id-filtered pass collects them —
+    shared by brute/LSH/IVF so no variant pays a second execution.
     """
     import pyarrow.compute as pc
 
-    q_rows = (
-        ds.map_batches(
-            lambda b: b.filter(pc.is_in(b[id_column], value_set=pa.array(query_ids))),
-            batch_format="pyarrow",
-        )
-        .select_columns([id_column, embedding_column])
-        .take_all()
-    )
-    q_rows.sort(key=lambda r: r[id_column])
-    query_ref = ray.put(
-        {"ids": [r[id_column] for r in q_rows], "vecs": [r[embedding_column] for r in q_rows]}
-    )
-
-    partial = ds.map_batches(
-        _BatchTopK,
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        fn_constructor_kwargs=dict(
-            query_ref=query_ref, k=k, embedding_column=embedding_column, id_column=id_column
-        ),
-    )
-
-    def reduce_topk(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(group["vec_id"].to_pylist(), group["cosine"].to_pylist()),
-            key=lambda r: (-r[1], r[0]),
-        )[:k]
-        qid = group["query_id"][0].as_py()
-        return _topk_table(
-            [qid] * len(rows),
-            [r[0] for r in rows],
-            [r[1] for r in rows],
-            group["vec_id"].type,
-            group["query_id"].type,
-        )
-
-    return partial.groupby("query_id").map_groups(reduce_topk, batch_format="pyarrow")
-
-
-def knn_lsh(
-    ds: ray.data.Dataset,
-    query_ids: list,
-    k: int = 10,
-    embedding_column: str = "embedding",
-    id_column: str = "vec_id",
-    planes: int = 8,
-    seed: int = 11,
-) -> ray.data.Dataset:
-    """Approximate top-k: hyperplane-bucketed with single-bit multi-probe.
-
-    Each vector lands in one bucket; each query probes its own bucket plus the
-    ``planes`` single-bit-flip neighbors (hamming-1 probing). Only probed
-    buckets are scanned — the scan cost drops by ~2^planes/(planes+1).
-    """
-    import pyarrow.compute as pc
-
-    q_rows = (
-        ds.map_batches(
-            lambda b: b.filter(pc.is_in(b[id_column], value_set=pa.array(query_ids))),
-            batch_format="pyarrow",
-        )
-        .select_columns([id_column, embedding_column])
-        .take_all()
-    )
-    q_rows.sort(key=lambda r: r[id_column])
-    qvecs = _unit(np.asarray([r[embedding_column] for r in q_rows], dtype=np.float64))
-    dim = qvecs.shape[1]
-    h = np.random.RandomState(seed).standard_normal((dim, planes))
-    q_sig = ((qvecs @ h) > 0).astype(np.uint32)
-    q_buckets = (q_sig << np.arange(planes, dtype=np.uint32)).sum(1)
-    probe: set[int] = set()
-    for b in q_buckets:
-        probe.add(int(b))
-        for p in range(planes):
-            probe.add(int(b) ^ (1 << p))
-    probe_list = sorted(probe)
-
-    query_ref = ray.put(
-        {"ids": [r[id_column] for r in q_rows], "vecs": [r[embedding_column] for r in q_rows]}
-    )
-
-    def bucket_filter(batch: pa.Table) -> pa.Table:
-        emb = embedding_matrix(batch[embedding_column])
-        signs = ((emb @ h) > 0).astype(np.uint32)
-        keys = (signs << np.arange(planes, dtype=np.uint32)).sum(1).astype(np.int64)
-        mask = np.isin(keys, probe_list)
-        return batch.filter(pa.array(mask))
-
-    filtered = ds.map_batches(bucket_filter, batch_format="pyarrow")
-    partial = filtered.map_batches(
-        _BatchTopK,
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        fn_constructor_kwargs=dict(
-            query_ref=query_ref, k=k, embedding_column=embedding_column, id_column=id_column
-        ),
-    )
-
-    def reduce_topk(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(group["vec_id"].to_pylist(), group["cosine"].to_pylist()),
-            key=lambda r: (-r[1], r[0]),
-        )[:k]
-        qid = group["query_id"][0].as_py()
-        return _topk_table(
-            [qid] * len(rows),
-            [r[0] for r in rows],
-            [r[1] for r in rows],
-            group["vec_id"].type,
-            group["query_id"].type,
-        )
-
-    return partial.groupby("query_id").map_groups(reduce_topk, batch_format="pyarrow")
-
-
-def _collect_queries(ds, query_ids, id_column, embedding_column):
-    import pyarrow.compute as pc
-
+    if query_vectors is not None:
+        return [
+            {id_column: qid, embedding_column: list(query_vectors[qid])}
+            for qid in sorted(query_vectors)
+        ]
     q_rows = (
         ds.map_batches(
             lambda b: b.filter(pc.is_in(b[id_column], value_set=pa.array(query_ids))),
@@ -237,22 +125,121 @@ def _reduce_topk(k: int):
     return reduce_topk
 
 
+def _brute_from_queries(ds, q_rows, k, embedding_column, id_column):
+    query_ref = ray.put(
+        {"ids": [r[id_column] for r in q_rows], "vecs": [r[embedding_column] for r in q_rows]}
+    )
+    partial = ds.map_batches(
+        _BatchTopK,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs=dict(
+            query_ref=query_ref, k=k, embedding_column=embedding_column, id_column=id_column
+        ),
+    )
+    return partial.groupby("query_id").map_groups(_reduce_topk(k), batch_format="pyarrow")
+
+
+def knn_brute(
+    ds: ray.data.Dataset,
+    query_ids: list,
+    k: int = 10,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    query_vectors: dict | None = None,
+) -> ray.data.Dataset:
+    """Exact cosine top-k for the vectors whose ids are ``query_ids``.
+
+    Result: ``(query_id, vec_id, cosine)`` sorted by (query_id, -cosine,
+    vec_id) with deterministic tie-breaks; k rows per query.
+    """
+    q_rows = _collect_queries(ds, query_ids, id_column, embedding_column, query_vectors)
+    return _brute_from_queries(ds, q_rows, k, embedding_column, id_column)
+
+
+# ------------------------------------------------------------------ LSH
+
+
+def lsh_hyperplanes_int(dim: int, planes: int, seed: int = 11) -> np.ndarray:
+    """Deterministic small-integer hyperplanes in {-8..8}, shape [dim, planes].
+
+    Small integers (not gaussians) so the signature is exact integer
+    arithmetic on micro-quantized embeddings — the ``q_knn_lsh`` oracle
+    inlines these very values and recomputes every bucket bit-exactly in
+    DuckDB. All-zero planes are impossible at these sizes (P < 17^-dim).
+    """
+    return np.random.RandomState(seed).randint(-8, 9, size=(dim, planes)).astype(np.int64)
+
+
+def lsh_bucket_ints(emb: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Bucket ids from integer hyperplane signs: ``floor(v * 1e6)`` per
+    component (exact in float64 for |v| ≲ 8e9), int64 dot, strict > 0 bit."""
+    q = np.floor(emb.astype(np.float64) * 1_000_000.0).astype(np.int64)
+    bits = (q @ h) > 0  # [N, planes] — |dot| ≤ dim * 8e6, far from overflow
+    planes = h.shape[1]
+    return (bits.astype(np.int64) << np.arange(planes, dtype=np.int64)).sum(1)
+
+
+def knn_lsh(
+    ds: ray.data.Dataset,
+    query_ids: list,
+    k: int = 10,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    planes: int = 8,
+    seed: int = 11,
+    query_vectors: dict | None = None,
+) -> ray.data.Dataset:
+    """Approximate top-k: hyperplane-bucketed with single-bit multi-probe.
+
+    Each vector lands in one bucket; each query probes its own bucket plus the
+    ``planes`` single-bit-flip neighbors (hamming-1 probing). Only probed
+    buckets are scanned — the scan cost drops by ~2^planes/(planes+1).
+    """
+    q_rows = _collect_queries(ds, query_ids, id_column, embedding_column, query_vectors)
+    qvecs = np.asarray([r[embedding_column] for r in q_rows], dtype=np.float64)
+    dim = qvecs.shape[1]
+    h = lsh_hyperplanes_int(dim, planes, seed)
+    q_buckets = lsh_bucket_ints(qvecs, h)
+    probe: set[int] = set()
+    for b in q_buckets:
+        probe.add(int(b))
+        for p in range(planes):
+            probe.add(int(b) ^ (1 << p))
+    probe_list = sorted(probe)
+
+    def bucket_filter(batch: pa.Table) -> pa.Table:
+        emb = embedding_matrix(batch[embedding_column], dtype=np.float64)
+        keys = lsh_bucket_ints(emb, h)
+        return batch.filter(pa.array(np.isin(keys, probe_list)))
+
+    filtered = ds.map_batches(bucket_filter, batch_format="pyarrow")
+    return _brute_from_queries(filtered, q_rows, k, embedding_column, id_column)
+
+
+# ------------------------------------------------------------------ IVF
+
+
 def train_ivf_centroids(
     ds: ray.data.Dataset,
     n_centroids: int = 16,
     embedding_column: str = "embedding",
     seed: int = 13,
     lloyd_iters: int = 2,
+    dim: int | None = None,
 ) -> np.ndarray:
     """Deterministic distributed k-means on the unit sphere.
 
     Seeded gaussian init; each Lloyd iteration is ONE ``map_batches`` pass
     emitting per-batch (centroid, sum-vector, count) partials — the driver
     merges ``n_centroids × n_batches`` tiny rows, never the vectors. Empty
-    cells keep their previous centroid (deterministic).
+    cells keep their previous centroid (deterministic). Pass ``dim`` when the
+    caller already knows it (e.g. from the collected query vectors) to avoid
+    an extra dataset execution.
     """
-    first = ds.take(1)[0]
-    dim = len(first[embedding_column])
+    if dim is None:
+        first = ds.take(1)[0]
+        dim = len(first[embedding_column])
     cent = _unit(np.random.RandomState(seed).standard_normal((n_centroids, dim)))
     for _ in range(lloyd_iters):
         cent_t = cent.T.copy()
@@ -294,16 +281,17 @@ def knn_ivf(
     n_probe: int = 4,
     seed: int = 13,
     lloyd_iters: int = 2,
+    query_vectors: dict | None = None,
 ) -> ray.data.Dataset:
     """IVF approximate top-k: scan only the cells whose centroids are among
     each query's ``n_probe`` nearest — scan cost ~ ``n_probe/n_centroids`` of
     brute force at equal recall for clustered data."""
+    q_rows = _collect_queries(ds, query_ids, id_column, embedding_column, query_vectors)
+    qvecs = _unit(np.asarray([r[embedding_column] for r in q_rows], dtype=np.float64))
     cent = train_ivf_centroids(
         ds, n_centroids=n_centroids, embedding_column=embedding_column,
-        seed=seed, lloyd_iters=lloyd_iters,
+        seed=seed, lloyd_iters=lloyd_iters, dim=qvecs.shape[1],
     )
-    q_rows = _collect_queries(ds, query_ids, id_column, embedding_column)
-    qvecs = _unit(np.asarray([r[embedding_column] for r in q_rows], dtype=np.float64))
     sims = qvecs @ cent.T
     probe: set[int] = set()
     for row in sims:
@@ -317,18 +305,44 @@ def knn_ivf(
         assign = np.argmax(emb @ cent_t, axis=1)
         return batch.filter(pa.array(np.isin(assign, probe_arr)))
 
-    query_ref = ray.put(
-        {"ids": [r[id_column] for r in q_rows], "vecs": [r[embedding_column] for r in q_rows]}
+    filtered = ds.map_batches(cell_filter, batch_format="pyarrow")
+    return _brute_from_queries(filtered, q_rows, k, embedding_column, id_column)
+
+
+def ann_recall_report(
+    approx: ray.data.Dataset,
+    exact: ray.data.Dataset,
+    k: int,
+    recall_bound: float = 0.8,
+) -> ray.data.Dataset:
+    """Per-query recall@k of an ANN result vs the exact top-k, floored at the
+    bound: ``hits_at_least = min(|approx ∩ exact|, ceil(bound*k))``.
+
+    The floor makes the table a driver-checkable CONTAINMENT oracle: when the
+    ANN meets the bound every row is the constant ``ceil(bound*k)`` (what the
+    SQL oracle emits); a recall miss surfaces as the actual smaller hit count
+    — an informative value mismatch. Both inputs are tiny (queries × k rows).
+    """
+    import math
+
+    floor_hits = math.ceil(recall_bound * k)
+    a = approx.select_columns(["query_id", "vec_id"]).to_pandas()
+    e = exact.select_columns(["query_id", "vec_id"]).to_pandas()
+    exact_sets = e.groupby("query_id")["vec_id"].agg(set).to_dict()
+    rows = []
+    for qid, grp in a.groupby("query_id"):
+        hits = len(set(grp["vec_id"]) & exact_sets.get(qid, set()))
+        rows.append({"query_id": qid, "k": k, "hits_at_least": min(hits, floor_hits)})
+    rows.sort(key=lambda r: r["query_id"])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array([r["query_id"] for r in rows]),
+                "k": pa.array([r["k"] for r in rows], pa.int64()),
+                "hits_at_least": pa.array([r["hits_at_least"] for r in rows], pa.int64()),
+            }
+        )
     )
-    partial = ds.map_batches(cell_filter, batch_format="pyarrow").map_batches(
-        _BatchTopK,
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-        fn_constructor_kwargs=dict(
-            query_ref=query_ref, k=k, embedding_column=embedding_column, id_column=id_column
-        ),
-    )
-    return partial.groupby("query_id").map_groups(_reduce_topk(k), batch_format="pyarrow")
 
 
 def quantize_embeddings(

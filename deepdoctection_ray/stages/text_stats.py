@@ -17,6 +17,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
+import ray.data
+
 from ..kernels.ids import md5_hex
 
 TOKEN_RE = r"[A-Za-z0-9]+"
@@ -267,6 +270,76 @@ def heavy_hitter_ngrams(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("part").map_groups(reduce_group, batch_format="pyarrow")
+
+
+# sentinel for the total-gram-count row in the recount pass: grams are
+# single-space-joined whitespace-split tokens, so no real gram contains a tab
+_TOTAL_SENTINEL = "\t__total__"
+
+
+def heavy_hitters_exact(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    n: int = 3,
+    capacity: int = 256,
+) -> "ray.data.Dataset":
+    """EXACT heavy hitters via the classic two-pass sketch algorithm: a
+    Misra-Gries pass proposes ≤ ``capacity`` candidates (guaranteed to
+    contain every gram with true count > N/capacity), then ONE more streaming
+    pass counts ONLY the candidates exactly (broadcast membership set, tiny
+    groupby) and keeps those above the threshold.
+
+    Output ``(ngram, n)`` with TRUE counts — deterministically equal to the
+    exact SQL ``HAVING n * capacity > total`` result, which is what makes the
+    sketch path driver-oracle-checkable. Scale shape: pass 1 is the mergeable
+    MG sketch (fixed memory per batch), pass 2 ships ≤ capacity+1 rows per
+    batch; nothing corpus-sized anywhere."""
+    from collections import Counter
+
+    candidates = {
+        r["ngram"] for r in heavy_hitter_ngrams(ds, text_column, n, capacity).take_all()
+    }
+    cand_ref = ray.put(candidates)
+
+    class Recount:
+        def __init__(self) -> None:
+            self._cand = ray.get(cand_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            c: Counter = Counter()
+            total = 0
+            for t in batch[text_column].to_pylist():
+                grams = _word_ngrams(t or "", n)
+                total += len(grams)
+                c.update(g for g in grams if g in self._cand)
+            c[_TOTAL_SENTINEL] = total
+            return pa.table(
+                {
+                    "ngram": pa.array(list(c.keys()), pa.string()),
+                    "n": pa.array(list(c.values()), pa.int64()),
+                }
+            )
+
+    counted = (
+        ds.map_batches(Recount, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("ngram")
+        .sum("n")
+    )
+    # ≤ capacity+1 distinct keys: a driver-safe collect
+    rows = {r["ngram"]: r["sum(n)"] for r in counted.take_all()}
+    total = rows.pop(_TOTAL_SENTINEL, 0)
+    heavy = sorted(
+        ((g, c) for g, c in rows.items() if c * capacity > total),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "ngram": pa.array([g for g, _ in heavy], pa.string()),
+                "n": pa.array([c for _, c in heavy], pa.int64()),
+            }
+        )
+    )
 
 
 def split_by_hash(

@@ -625,6 +625,29 @@ def make_deskew_docs(n_docs: int = 100, seed: int = 42) -> pa.Table:
     )
 
 
+def make_boilerplate_docs(n_docs: int = 40, repeats: int = 8) -> pa.Table:
+    """Deterministic boilerplate corpus for the heavy-hitter oracle: the sf
+    documents table is near-uniform (no word 3-gram exceeds N/1024), so a
+    non-vacuous heavy-hitter check unions these docs in — each repeats one of
+    two fixed sentences, making the sentences' cyclic 3-grams genuinely heavy
+    (count ≫ N/256) while the unioned distinct-gram space (~26k) still far
+    exceeds the sketch capacity. No RNG: byte-identical every run."""
+    sentences = [
+        "all rights reserved contact support for help",
+        "click here to unsubscribe from this newsletter",
+    ]
+    ids, texts = [], []
+    for i in range(n_docs):
+        ids.append(2_000_000 + i)
+        texts.append(" ".join([sentences[i % len(sentences)]] * repeats))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
 _KIND_BUILDERS = {"plain": _make_plain, "html": _make_html, "pdfish": _make_pdfish}
 _KIND_TOOL = {"plain": "", "html": "browser", "pdfish": "pdf_reader"}
 

@@ -142,9 +142,41 @@ def main() -> None:
         )
         return res
 
+    from deepdoctection_ray.stages.dedup import dedup_segments
+
+    # exchange-bytes evidence for the dedup_segments pre-hash: the shuffle row
+    # used to carry the full segment text as the key; it now carries a 32-char
+    # md5. Measure the actual Arrow bytes of one representative explode output
+    # both ways (25-word segments, the Lee-et-al-style paragraph window).
+    from deepdoctection_ray.kernels.ids import md5_hex
+
+    seg_texts = [
+        " ".join(f"word{(i * 31 + j) % 997}" for j in range(25)) for i in range(10_000)
+    ]
+    ids64 = pa.array(np.arange(10_000, dtype=np.int64))
+    idx64 = pa.array(np.zeros(10_000, dtype=np.int64))
+    with_text = pa.table({"doc_id": ids64, "seg_idx": idx64, "seg": pa.array(seg_texts)})
+    with_key = pa.table(
+        {"doc_id": ids64, "seg_idx": idx64,
+         "seg_key": pa.array([md5_hex(s) for s in seg_texts])}
+    )
+    exchange_bytes = {
+        "text_key_bytes": with_text.nbytes,
+        "md5_key_bytes": with_key.nbytes,
+        "ratio": round(with_key.nbytes / with_text.nbytes, 3),
+    }
+    print(f"  segment exchange bytes: {exchange_bytes}", file=sys.stderr)
+
     results: dict = {}
     for label, keys in (("low", LOW_KEYS), ("high", HIGH_KEYS)):
         bench(f"dedup_exact_{label}", lambda k=keys: _consume(dedup_exact(_docs(N_ROWS, k))), results)
+        bench(
+            f"dedup_segments_{label}",
+            lambda k=keys: _consume(
+                dedup_segments(_docs(N_ROWS // 4, k), "text", "doc_id", window=20)
+            ),
+            results,
+        )
         bench(
             f"assemble_{label}",
             lambda k=keys: _consume(assemble_conversations(_turns(N_ROWS, k))),
@@ -167,7 +199,7 @@ def main() -> None:
 
     ratios = {
         op: round(results[f"{op}_high"]["sec"] / results[f"{op}_low"]["sec"], 2)
-        for op in ("dedup_exact", "assemble", "grouped_int_sums", "sessionize")
+        for op in ("dedup_exact", "dedup_segments", "assemble", "grouped_int_sums", "sessionize")
     }
     print(
         json.dumps(
@@ -178,6 +210,7 @@ def main() -> None:
                 "high_keys": HIGH_KEYS,
                 "results": results,
                 "high_over_low_ratio": ratios,
+                "segment_exchange_bytes": exchange_bytes,
             }
         )
     )

@@ -257,7 +257,18 @@ def test_dedup_segments_first_wins(ray_session):
     # doc 2's first segment lost (doc 1 came first); its tail survives
     assert (1, 0) in got and (2, 0) not in got and (2, 1) in got
     assert (3, 0) in got and (4, 0) in got
-    assert out[out["doc_id"] == 4]["seg"].iloc[0] == ""
+    # default output carries only the md5 key (the text never crosses the
+    # exchange); keep_text=True re-derives the survivors' segment text
+    assert set(out.columns) == {"doc_id", "seg_idx", "seg_key"}
+    with_text = dedup_segments(
+        ray.data.from_items(rows), window=20, keep_text=True
+    ).to_pandas()
+    assert {(r.doc_id, r.seg_idx) for r in with_text.itertuples()} == got
+    assert with_text[with_text["doc_id"] == 4]["seg"].iloc[0] == ""
+    assert (
+        with_text[(with_text["doc_id"] == 1) & (with_text["seg_idx"] == 0)]["seg"].iloc[0]
+        == shared
+    )
 
 
 def test_quantize_roundtrip_and_recall(ray_session, clustered_embeddings):

@@ -264,6 +264,58 @@ def test_heavy_hitters_guarantee(ray_session):
         assert n <= exact[g]
 
 
+def test_heavy_hitters_exact_equals_true_heavy_set(ray_session):
+    """Two-pass MG + exact recount: output must EQUAL the exact heavy set
+    (ngram, true count) for threshold n * capacity > total."""
+    from collections import Counter
+
+    import ray.data
+    from deepdoctection_ray.stages.text_stats import _word_ngrams, heavy_hitters_exact
+
+    rows = []
+    for i in range(300):
+        body = "hot gram triple repeated" if i % 2 == 0 else f"cold unique filler {i} row body"
+        rows.append({"text": body})
+    exact = Counter()
+    for r in rows:
+        exact.update(_word_ngrams(r["text"]))
+    total = sum(exact.values())
+    cap = 64
+    want = sorted(
+        ((g, n) for g, n in exact.items() if n * cap > total),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    got = heavy_hitters_exact(ray.data.from_items(rows), capacity=cap).to_pandas()
+    assert list(zip(got["ngram"], got["n"])) == want
+    assert len(want) > 0  # non-vacuous
+
+
+def test_ann_recall_report_floor_and_miss(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from deepdoctection_ray.stages.similarity import ann_recall_report
+
+    def tbl(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "cosine": pa.array([0.5] * len(rows), pa.float64()),
+                }
+            )
+        )
+
+    exact = tbl([(1, v) for v in range(5)] + [(2, v) for v in range(5)])
+    # query 1: perfect recall (floors at ceil(0.8*5)=4); query 2: 2/5 hits
+    approx = tbl([(1, v) for v in range(5)] + [(2, 0), (2, 1), (2, 99), (2, 98), (2, 97)])
+    got = ann_recall_report(approx, exact, k=5, recall_bound=0.8).to_pandas()
+    got = got.sort_values("query_id").reset_index(drop=True)
+    assert list(got["hits_at_least"]) == [4, 2]
+    assert list(got["k"]) == [5, 5]
+
+
 def test_split_by_hash_deterministic_and_proportional(ray_session):
     import ray.data
     from deepdoctection_ray.stages.text_stats import split_by_hash
