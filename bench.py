@@ -44,6 +44,8 @@ QUERY_NAMES = [
     "q_bm25_search",
     "q_pii_redact",
     "q_dup_clusters",
+    "q_curation_pipeline",
+    "q_lm_xent",
 ]
 
 

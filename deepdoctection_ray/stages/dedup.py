@@ -101,6 +101,26 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     )
 
 
+def batch_shingle_hashes(text_col, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch shingle hashing: ``(row_index, hash)`` arrays equal to
+    exploding :func:`shingle_hashes` per row, with the tokenize/join loop
+    replaced by the Arrow gram kernels and md5 evaluated once per DISTINCT
+    gram in the batch (dictionary-encoded — corpora repeat grams heavily).
+    The hash function itself stays ``stable_int`` so every oracle that
+    rebuilds signatures in SQL is unaffected."""
+    from ..kernels.grams import explode_ngrams
+
+    row_idx, grams = explode_ngrams(text_col, k)
+    enc = grams.dictionary_encode()
+    dict_vals = enc.dictionary.to_pylist()
+    dh = np.fromiter(
+        (stable_int(g) for g in dict_vals), dtype=np.uint64, count=len(dict_vals)
+    )
+    if len(dh) == 0:
+        return row_idx, np.empty(0, dtype=np.uint64)
+    return row_idx, dh[enc.indices.to_numpy(zero_copy_only=False)]
+
+
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Minwise (a*x + b) mod p signature in ONE broadcast op, shape
     [num_hashes]. The uint64 product wraps mod 2^64 before the mod-p reduce —
@@ -133,12 +153,25 @@ class MinHasher:
         self._id_column = id_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self._text_column].to_pylist()
-        n = len(texts)
+        n = len(batch)
         r = self._rows_per_band
-        sigs = np.empty((n, self._bands * r), dtype=np.uint64)
-        for i, text in enumerate(texts):  # shingling is per-doc; the rest is matrix ops
-            sigs[i] = minhash_signature(shingle_hashes(text or "", self._k), self._a, self._b)
+        num_hashes = self._bands * r
+        sigs = np.empty((n, num_hashes), dtype=np.uint64)
+        if n:
+            # whole-batch vectorized shingling; signatures via ONE
+            # segment-min per hash over the row-sorted gram stream (memory
+            # stays O(grams), never O(grams × hashes))
+            row_idx, sh = batch_shingle_hashes(batch[self._text_column], self._k)
+            order = np.argsort(row_idx, kind="stable")
+            sh = sh[order]
+            counts = np.bincount(row_idx, minlength=n)  # ≥ 1 per row (gram fallback)
+            offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            sig_t = np.empty((num_hashes, n), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(num_hashes):
+                    vj = (sh * self._a[j] + self._b[j]) % np.uint64(_MERSENNE)
+                    sig_t[j] = np.minimum.reduceat(vj, offs)
+            sigs = sig_t.T.copy()
         # band key: mix the band's signature rows into ONE uint64 (multiply-
         # xor chain) — replaces a per-band md5 call; collisions only create
         # extra candidates that exact-Jaccard verification discards
@@ -494,24 +527,32 @@ def dedup_ngram_jaccard(
     """
 
     def to_prefix_postings(batch: pa.Table) -> pa.Table:
-        ids = batch[id_column]
-        sh_out: list[np.ndarray] = []
-        idx_out: list[int] = []
-        for i, t in enumerate(batch[text_column].to_pylist()):
-            sh = np.unique(shingle_hashes(t or "", k))
-            n = len(sh)
-            p = max(1, n - int(np.ceil(threshold * n)) + 1)
-            sh_out.append(sh[:p])  # np.unique output is already sorted
-            idx_out.append(i)
-        counts = [len(s) for s in sh_out]
-        flat = (
-            np.concatenate(sh_out) if sh_out else np.empty(0, dtype=np.uint64)
-        ).view(np.int64)
-        take = pa.array(np.repeat(np.asarray(idx_out, dtype=np.int64), counts))
+        from ..kernels.grams import _ranges
+
+        n_rows = len(batch)
+        if n_rows == 0:
+            return pa.table(
+                {"shingle": pa.array([], pa.int64()),
+                 id_column: batch[id_column]}
+            )
+        # whole-batch vectorized: explode hashes, per-row sorted-unique via
+        # one lexsort + consecutive-dedup, then the first
+        # |S| - ceil(t·|S|) + 1 hashes per row via index arithmetic
+        row_idx, h = batch_shingle_hashes(batch[text_column], k)
+        order = np.lexsort((h, row_idx))
+        r, hh = row_idx[order], h[order]
+        keep = np.ones(len(r), dtype=bool)
+        keep[1:] = (r[1:] != r[:-1]) | (hh[1:] != hh[:-1])
+        r, hh = r[keep], hh[keep]
+        counts = np.bincount(r, minlength=n_rows)  # ≥ 1 per row (gram fallback)
+        p = np.maximum(1, counts - np.ceil(threshold * counts).astype(np.int64) + 1)
+        offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        sel = np.repeat(offs, p) + _ranges(p)
+        take = pa.array(np.repeat(np.arange(n_rows, dtype=np.int64), p))
         return pa.table(
             {
-                "shingle": pa.array(flat, pa.int64()),
-                id_column: pc.take(ids, take),
+                "shingle": pa.array(hh[sel].view(np.int64), pa.int64()),
+                id_column: pc.take(batch[id_column], take),
             }
         )
 

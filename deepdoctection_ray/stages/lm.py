@@ -36,20 +36,17 @@ __all__ = ["ngram_cross_entropy"]
 
 
 def _explode_bigrams(batch: pa.Table, text_column: str, id_column: str) -> pa.Table:
-    ids, w1s, bgs = [], [], []
-    for doc_id, text in zip(
-        batch[id_column].to_pylist(), batch[text_column].to_pylist()
-    ):
-        toks = (text or "").split()
-        for a, b in zip(toks, toks[1:]):
-            ids.append(doc_id)
-            w1s.append(a)
-            bgs.append(a + " " + b)
+    """Vectorized bigram explode (Arrow split + numpy index arithmetic + C
+    string joins — no per-document Python loop; kernels/grams.py)."""
+    from ..kernels.grams import explode_bigrams
+
+    row_idx, w1, bg = explode_bigrams(batch[text_column])
+    take = pa.array(row_idx, pa.int64())
     return pa.table(
         {
-            "doc_id": pa.array(ids, batch[id_column].type),
-            "w1": pa.array(w1s, pa.string()),
-            "b": pa.array(bgs, pa.string()),
+            "doc_id": pc.take(batch[id_column], take),
+            "w1": w1,
+            "b": bg,
         }
     )
 

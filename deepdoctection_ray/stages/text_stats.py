@@ -163,18 +163,17 @@ def top_ngrams(
     ≤ buckets×k bucket winners; (3) the tiny winner set sorts globally with
     the deterministic (count DESC, ngram ASC) tie-break the oracle uses.
     """
-    from collections import Counter
-
     from ..functions.bucketed import bucketed_map_groups
+    from ..kernels.grams import explode_ngrams
 
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch[text_column].to_pylist():
-            c.update(_word_ngrams(t or "", n))
+        # vectorized: Arrow gram explode + ONE C hash-aggregation per batch
+        _, grams = explode_ngrams(batch[text_column], n)
+        t = pa.table({"ngram": grams}).group_by("ngram").aggregate([([], "count_all")])
         return pa.table(
             {
-                "ngram": pa.array(list(c.keys()), pa.string()),
-                "n": pa.array(list(c.values()), pa.int64()),
+                "ngram": t["ngram"],
+                "n": pc.cast(t["count_all"], pa.int64()),
             }
         )
 
@@ -294,29 +293,34 @@ def heavy_hitters_exact(
     sketch path driver-oracle-checkable. Scale shape: pass 1 is the mergeable
     MG sketch (fixed memory per batch), pass 2 ships ≤ capacity+1 rows per
     batch; nothing corpus-sized anywhere."""
-    from collections import Counter
+    from ..kernels.grams import explode_ngrams
 
-    candidates = {
+    candidates = sorted(
         r["ngram"] for r in heavy_hitter_ngrams(ds, text_column, n, capacity).take_all()
-    }
+    )
     cand_ref = ray.put(candidates)
 
     class Recount:
         def __init__(self) -> None:
-            self._cand = ray.get(cand_ref)
+            self._cand = pa.array(ray.get(cand_ref), pa.string())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            c: Counter = Counter()
-            total = 0
-            for t in batch[text_column].to_pylist():
-                grams = _word_ngrams(t or "", n)
-                total += len(grams)
-                c.update(g for g in grams if g in self._cand)
-            c[_TOTAL_SENTINEL] = total
+            # vectorized: explode once, is_in membership against the ≤256
+            # broadcast candidates, one C hash-aggregation; the sentinel row
+            # carries this batch's total gram count for the threshold
+            _, grams = explode_ngrams(batch[text_column], n)
+            kept = grams.filter(pc.is_in(grams, value_set=self._cand))
+            t = pa.table({"ngram": kept}).group_by("ngram").aggregate([([], "count_all")])
             return pa.table(
                 {
-                    "ngram": pa.array(list(c.keys()), pa.string()),
-                    "n": pa.array(list(c.values()), pa.int64()),
+                    "ngram": pa.concat_arrays(
+                        [t["ngram"].combine_chunks().cast(pa.string()),
+                         pa.array([_TOTAL_SENTINEL], pa.string())]
+                    ),
+                    "n": pa.array(
+                        pc.cast(t["count_all"], pa.int64()).to_pylist() + [len(grams)],
+                        pa.int64(),
+                    ),
                 }
             )
 

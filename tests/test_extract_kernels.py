@@ -119,3 +119,55 @@ def test_html_fast_engine_entities_and_comments():
     html = "<body><!-- note --><p>a &amp; b &lt;tag&gt;</p><br/><p>two</p></body>"
     blocks = parse_html_blocks(html)
     assert [" ".join(b.words) for b in blocks] == ["a & b <tag>", "two"]
+
+
+def test_gram_kernels_match_scalar_definitions():
+    """Vectorized Arrow gram explosion (kernels/grams.py) must emit exactly
+    the scalar word_ngrams / zip(toks, toks[1:]) grams per row, including the
+    short-doc fallback and whitespace edge cases (hypothesis fuzz)."""
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from deepdoctection_ray.kernels.grams import explode_bigrams, explode_ngrams
+    from deepdoctection_ray.kernels.normalize import word_ngrams
+
+    texts_st = st.lists(
+        st.text(alphabet="ab \t\n ", max_size=30), min_size=0, max_size=20
+    )
+
+    @settings(max_examples=150, deadline=4000)
+    @given(texts_st, st.integers(min_value=1, max_value=4))
+    def check(texts, k):
+        col = pa.array(texts, pa.string())
+        ridx, grams = explode_ngrams(col, k)
+        got: dict = {}
+        for r, g in zip(ridx, grams.to_pylist()):
+            got.setdefault(int(r), []).append(g)
+        for i, t in enumerate(texts):
+            assert sorted(got.get(i, [])) == sorted(word_ngrams(t, k)), (i, repr(t), k)
+        ridx, w1, bg = explode_bigrams(col)
+        got = {}
+        for r, a, b in zip(ridx, w1.to_pylist(), bg.to_pylist()):
+            got.setdefault(int(r), []).append((a, b))
+        for i, t in enumerate(texts):
+            toks = t.split()
+            want = [(a, a + " " + b) for a, b in zip(toks, toks[1:])]
+            assert sorted(got.get(i, [])) == sorted(want), (i, repr(t))
+
+    check()
+
+
+def test_batch_shingle_hashes_matches_scalar():
+    import numpy as np
+    import pyarrow as pa
+
+    from deepdoctection_ray.stages.dedup import batch_shingle_hashes, shingle_hashes
+
+    texts = ["", "a", "a b c d e", "x y", "a b c", "repeat repeat repeat repeat"]
+    ridx, h = batch_shingle_hashes(pa.array(texts), k=3)
+    got: dict = {}
+    for r, v in zip(ridx, h):
+        got.setdefault(int(r), []).append(int(v))
+    for i, t in enumerate(texts):
+        want = [int(v) for v in shingle_hashes(t, 3)]
+        assert sorted(got.get(i, [])) == sorted(want), (i, t)

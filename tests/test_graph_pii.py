@@ -48,6 +48,48 @@ def test_cc_empty(ray_session):
     assert set(out.schema().names) == {"doc_id", "cluster_id"}
 
 
+def test_cc_star_equals_label(ray_session):
+    """large-star/small-star must produce the identical cluster assignment
+    on chains, islands, triangles and a random graph."""
+    import random
+
+    rows = [(i, i + 1) for i in range(1, 10)]
+    rows += [(100, 101)]
+    rows += [(200, 201), (201, 202), (200, 202)]
+    rng = random.Random(17)
+    rows += [
+        (rng.randrange(300, 360), rng.randrange(300, 360)) for _ in range(80)
+    ]
+    rows = [(a, b) for a, b in rows if a != b]
+    lab = _labels(connected_components(_pairs(rows), method="label"))
+    star = _labels(connected_components(_pairs(rows), method="star"))
+    assert star == lab
+
+
+def test_cc_star_logarithmic_rounds_on_long_path(ray_session):
+    """Adversarial 10k-node path: diameter 9999 would force ~10k label-
+    propagation rounds; the star contraction must finish in O(log n)."""
+    import math
+
+    n = 10_000
+    rows = [(i, i + 1) for i in range(n - 1)]
+    stats: dict = {}
+    out = connected_components(
+        _pairs(rows), method="star", max_iters=64, stats=stats
+    ).to_pandas()
+    assert stats["rounds"] <= 3 * int(math.log2(n)) + 5
+    assert len(out) == n
+    assert (out["cluster_id"] == 0).all()
+
+
+def test_cc_star_empty(ray_session):
+    empty = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    )
+    out = connected_components(empty, method="star")
+    assert out.count() == 0
+
+
 def test_dup_clusters_planted(ray_session):
     base = "the quick brown fox jumps over the lazy dog again and again " * 5
     docs = ray.data.from_items(
