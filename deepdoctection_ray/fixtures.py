@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 FIXTURE_DIR = "/tmp/ddray_fixtures"
-_VERSION = 11
+_VERSION = 12
 
 TRANSCRIPTS_DIR = "/tmp/ddray_transcripts_small"
 N_CONVS, SEED, HOT = 60, 42, 10
@@ -172,6 +172,9 @@ def ensure_fixtures() -> str:
                 "file_name": pa.array([t["file_name"] for t in truth], pa.string()),
                 "page_number": pa.array([t["page_number"] for t in truth], pa.int64()),
                 "text": pa.array([t["text"] for t in truth], pa.string()),
+                "width_px": pa.array([t["width_px"] for t in truth], pa.int64()),
+                "height_px": pa.array([t["height_px"] for t in truth], pa.int64()),
+                "n_dark": pa.array([t["n_dark"] for t in truth], pa.int64()),
             }
         ),
         path("pdf_truth"),

@@ -1,0 +1,110 @@
+"""Minimal page rasterization — the ``to_image`` pixel semantic.
+
+The reference renders PDF pages to pixel arrays at a DPI via poppler/pdfium
+(``dd_core/utils/pdf_utils.py:594-669``) to feed its visual predictors. No
+raster libs exist in this environment, so the same semantic is closed from
+the text layer: every word box renders as a filled glyph-box run on a white
+canvas at ``dpi/72`` scale. That is enough to drive the pixel-space
+estimators (projection-profile deskew runs on the raster exactly as the
+reference's jdeskew runs on the page image) and the ReplayDetector path from
+pixels, and it is deterministic — the ``q_render_pdf`` oracle compares ink
+statistics against construction truth computed by the fixture generator
+through the independent writer→bytes→parser box path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = [
+    "word_pixel_rect",
+    "render_words",
+    "render_page",
+    "ink_stats",
+    "estimate_skew_from_pixels",
+]
+
+
+def word_pixel_rect(
+    x0: float, top: float, x1: float, bottom: float, scale: float
+) -> tuple[int, int, int, int]:
+    """Half-open pixel rect of a word box at ``scale`` px/pt: floor the
+    origin, ceil the far edge, minimum 1 px each way. Shared by the renderer
+    and the fixture-truth generator so ink counts are reproducible."""
+    px0 = int(math.floor(x0 * scale))
+    py0 = int(math.floor(top * scale))
+    px1 = max(px0 + 1, int(math.ceil(x1 * scale)))
+    py1 = max(py0 + 1, int(math.ceil(bottom * scale)))
+    return px0, py0, px1, py1
+
+
+def render_words(
+    words: list[dict], width: float, height: float, dpi: int = 36
+) -> np.ndarray:
+    """Grayscale uint8 page raster (255 background, 0 ink) from word records
+    ``{x0, top, x1, bottom}`` in the top-left point convention
+    (:meth:`PdfReader.page_words`)."""
+    scale = dpi / 72.0
+    w_px = max(1, int(math.ceil(width * scale)))
+    h_px = max(1, int(math.ceil(height * scale)))
+    img = np.full((h_px, w_px), 255, dtype=np.uint8)
+    for w in words:
+        px0, py0, px1, py1 = word_pixel_rect(
+            float(w["x0"]), float(w["top"]), float(w["x1"]), float(w["bottom"]), scale
+        )
+        px0, py0 = max(0, px0), max(0, py0)
+        px1, py1 = min(w_px, px1), min(h_px, py1)
+        if px1 > px0 and py1 > py0:
+            img[py0:py1, px0:px1] = 0
+    return img
+
+
+def render_page(reader, page_no: int, dpi: int = 36) -> np.ndarray:
+    """Rasterize one page of a :class:`~..kernels.pdf.PdfReader` document."""
+    width, height = reader.page_size(page_no)
+    return render_words(reader.page_words(page_no), width, height, dpi)
+
+
+def ink_stats(img: np.ndarray) -> dict:
+    """Deterministic raster summary: canvas size and dark-pixel count."""
+    return {
+        "width_px": int(img.shape[1]),
+        "height_px": int(img.shape[0]),
+        "n_dark": int((img < 128).sum()),
+    }
+
+
+def estimate_skew_from_pixels(
+    img: np.ndarray,
+    limit_deg: float = 10.0,
+    coarse_step: float = 0.25,
+    bin_px: float | None = None,
+) -> float:
+    """Projection-profile skew estimation ON PIXELS — the raster analog of
+    :func:`..kernels.transforms.estimate_skew_angle` (same energy function,
+    same sign convention: returns the angle that flattens the text lines).
+    Every dark pixel is a sample point; for each candidate angle the points
+    rotate and bin into horizontal lines, and the angle with the sharpest
+    profile (max sum of squared bin counts) wins."""
+    ys, xs = np.nonzero(img < 128)
+    if ys.size < 8:
+        return 0.0
+    cy = ys.astype(np.float64)
+    cx = xs.astype(np.float64)
+    if bin_px is None:
+        # glyph-box height at the rendering scale: ~half a text line
+        bin_px = max(2.0, img.shape[0] / 80.0)
+
+    def energy(angle_deg: float) -> float:
+        a = np.deg2rad(angle_deg)
+        y = cy * np.cos(a) - cx * np.sin(a)
+        bins = np.floor((y - y.min()) / bin_px).astype(np.int64)
+        counts = np.bincount(bins)
+        return float((counts.astype(np.float64) ** 2).sum())
+
+    coarse = np.arange(-limit_deg, limit_deg + coarse_step / 2, coarse_step)
+    scores = np.array([energy(a) for a in coarse])
+    near = np.where(scores >= scores.max() - 1e-9)[0]
+    return float(coarse[near[len(near) // 2]])

@@ -2155,6 +2155,61 @@ FROM read_parquet('/tmp/ddray_fixtures/pdf_truth.parquet')
 """
 
 
+def q_render_pdf(sf_dir: str) -> ray.data.Dataset:
+    """PDF → pixels (the reference's ``to_image`` DPI rasterization,
+    ``pdf_utils.py:594-669``): every fixture page renders to a 36-dpi
+    grayscale raster from its parsed text layer (kernels/raster.py) and
+    reports deterministic ink statistics. The oracle is construction truth:
+    the generator computed the same statistics from the geometry it WROTE,
+    so the bytes→container-parse→box-mine→rasterize chain must reproduce
+    them exactly (covers Flate, ObjStm/xref-stream and RC4 page variants)."""
+    import json as _json
+    import os as _os
+
+    from . import fixtures
+    from .kernels.raster import ink_stats, render_words
+    from .sources import read_pdf
+
+    fixtures.ensure_fixtures()
+    pages = read_pdf(_os.path.join(fixtures.FIXTURE_DIR, "pdfs"))
+
+    def raster_stats(batch: pa.Table) -> pa.Table:
+        fns, pns, w_px, h_px, dark = [], [], [], [], []
+        for fn, pn, payload in zip(
+            batch["file_name"].to_pylist(),
+            batch["page_number"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            d = _json.loads(payload)
+            s = ink_stats(
+                render_words(d["words"], d["page"]["width"], d["page"]["height"], dpi=36)
+            )
+            fns.append(fn)
+            pns.append(pn)
+            w_px.append(s["width_px"])
+            h_px.append(s["height_px"])
+            dark.append(s["n_dark"])
+        return pa.table(
+            {
+                "file_name": pa.array(fns, pa.string()),
+                "page_number": pa.array(pns, pa.int64()),
+                "width_px": pa.array(w_px, pa.int64()),
+                "height_px": pa.array(h_px, pa.int64()),
+                "n_dark": pa.array(dark, pa.int64()),
+            }
+        )
+
+    return pages.map_batches(raster_stats, batch_format="pyarrow", batch_size=64)
+
+
+Q_RENDER_PDF_SQL = """
+-- construction-truth raster statistics (written by the fixture generator
+-- from the geometry it emitted; the engine re-derives them from the bytes)
+SELECT file_name, page_number, width_px, height_px, n_dark
+FROM read_parquet('/tmp/ddray_fixtures/pdf_truth.parquet')
+"""
+
+
 def q_layoutlm_features(sf_dir: str) -> ray.data.Dataset:
     """LayoutLM feature mapping over the PDF fixture pages: word-piece
     tokenize, align boxes, build sliding windows (max_length=32, stride=8 so
@@ -2453,10 +2508,11 @@ def build_queries() -> dict:
         "q_layout_links": q_layout_links,
         "q_sub_layout": q_sub_layout,
         "q_entities": q_entities,
-        # --- newly-oracled sketch/ANN paths (no_oracle in r03) ---
+        # --- newly-oracled sketch/ANN/raster paths ---
         "q_heavy_ngrams": q_heavy_ngrams,
         "q_knn_lsh": q_knn_lsh,
         "q_knn_ivf": q_knn_ivf,
+        "q_render_pdf": q_render_pdf,
         # --- flagship pipelines ---
         "q_extract_transcripts": q_extract_transcripts,
         "q_extract_layout": q_extract_layout,
@@ -2494,8 +2550,8 @@ def build_queries() -> dict:
         "q_events_asof": q_events_asof,
         "q_events_range_join": q_events_range_join,
         "q_customer_order_counts": q_customer_order_counts,
-        "q_events_by_type": q_events_by_type,
         # --- near-duplicate variants (green driver rows on record in r03) ---
+        "q_events_by_type": q_events_by_type,
         "q_orders_by_segment": q_orders_by_segment,
         "q_top10_orders": q_top10_orders,
         "q_distinct_status": q_distinct_status,
@@ -2573,6 +2629,7 @@ def build_oracle_sql() -> dict:
         "q_table_segment": Q_TABLE_SEGMENT_SQL,
         "q_pubtables_segment": Q_PUBTABLES_SQL,
         "q_read_pdf": Q_READ_PDF_SQL,
+        "q_render_pdf": Q_RENDER_PDF_SQL,
         "q_layoutlm_features": Q_LAYOUTLM_SQL,
         "q_deskew": Q_DESKEW_SQL,
         "q_layout_links": Q_LAYOUT_LINKS_SQL,

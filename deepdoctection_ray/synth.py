@@ -561,11 +561,29 @@ def make_pdf_corpus(
                     line_words.append(t)
                 lines.append(" ".join(line_words))
             pages.append({"width": width, "height": height, "words": words})
+            # construction-truth raster statistics: the same word geometry
+            # the writer emits, boxed exactly as PdfReader.page_words derives
+            # it (w = 0.5*size*len, 2-decimal rounding) and pixelized by the
+            # shared kernel — the engine must reproduce these through the
+            # independent bytes→parser→render path (q_render_pdf oracle)
+            from .kernels.raster import ink_stats, render_words
+
+            truth_words = [
+                {
+                    "x0": round(x, 2),
+                    "top": round(height - y - size, 2),
+                    "x1": round(x + 0.5 * size * len(t), 2),
+                    "bottom": round(height - y, 2),
+                }
+                for (t, x, y, size) in words
+            ]
+            stats = ink_stats(render_words(truth_words, width, height, dpi=36))
             truth.append(
                 {
                     "file_name": f"doc-{i:03d}.pdf",
                     "page_number": p,
                     "text": "\n".join(lines),
+                    **stats,
                 }
             )
         files.append(

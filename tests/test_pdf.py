@@ -454,3 +454,65 @@ def test_lzw_table_exhaustion_emits_clear():
     data = bytes(rng.randrange(256) for _ in range(16384))
     enc = _lzw_encode(data)
     assert _lzw_decode(enc) == data
+
+
+# ------------------------------------------------------------ rasterization
+
+
+def test_render_page_matches_construction_truth():
+    """bytes → container parse → box mine → rasterize must reproduce the ink
+    statistics the fixture generator computed from the geometry it wrote
+    (covers plain, Flate, ObjStm/xref-stream and RC4 page variants)."""
+    from deepdoctection_ray.kernels.raster import ink_stats, render_page
+    from deepdoctection_ray.synth import make_pdf_corpus
+
+    files, truth = make_pdf_corpus(12, seed=42)
+    by_page = {(t["file_name"], t["page_number"]): t for t in truth}
+    for name, data in files:
+        reader = PdfReader(data)
+        for p in range(reader.num_pages):
+            got = ink_stats(render_page(reader, p, dpi=36))
+            want = by_page[(name, p)]
+            assert got["width_px"] == want["width_px"]
+            assert got["height_px"] == want["height_px"]
+            assert got["n_dark"] == want["n_dark"], (name, p)
+
+
+def test_render_blank_and_clipping():
+    import numpy as np
+
+    from deepdoctection_ray.kernels.raster import ink_stats, render_words
+
+    blank = render_words([], 100, 50, dpi=72)
+    assert ink_stats(blank) == {"width_px": 100, "height_px": 50, "n_dark": 0}
+    # a box hanging off the page clips instead of wrapping
+    img = render_words(
+        [{"x0": -10, "top": -5, "x1": 5, "bottom": 3}], 100, 50, dpi=72
+    )
+    assert (img[0:3, 0:5] == 0).all()
+    assert int((img < 128).sum()) == 15
+
+
+def test_deskew_from_pixels_matches_geometry_estimator():
+    """The pixel-space projection-profile estimator (raster path, the
+    reference's image-based jdeskew semantic) must agree with the geometry
+    estimator on rendered skewed pages within the coarse grid step."""
+    import json
+
+    import numpy as np
+
+    from deepdoctection_ray.kernels.raster import (
+        estimate_skew_from_pixels, render_words,
+    )
+    from deepdoctection_ray.kernels.transforms import estimate_skew_angle
+    from deepdoctection_ray.synth import make_deskew_docs
+
+    docs = make_deskew_docs(8, seed=42)
+    for payload in docs["text"].to_pylist():
+        d = json.loads(payload)
+        words = d["words"]
+        img = render_words(words, d["page"]["width"], d["page"]["height"], dpi=72)
+        px_angle = estimate_skew_from_pixels(img, limit_deg=10.0)
+        boxes = np.array([[w["x0"], w["top"], w["x1"], w["bottom"]] for w in words])
+        geo_angle = estimate_skew_angle(boxes, limit_deg=10.0)
+        assert abs(px_angle - geo_angle) <= 0.5, (d["true_angle"], px_angle, geo_angle)
