@@ -30,6 +30,8 @@ def sniff_mime(data: bytes) -> str | None:
         return "image/bmp"
     if data[:2] in (b"P6", b"P5"):
         return "image/x-portable-pixmap"
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
     return None
 
 
@@ -123,9 +125,15 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_bmp(data)
     if mime == "image/x-portable-pixmap":
         return decode_ppm(data)
+    if mime == "image/png":
+        # real PNG support (kernels/png.py — zlib + the same Sub/Up/Average/
+        # Paeth predictor family the PDF xref-stream path decodes)
+        from .png import decode_png
+
+        return decode_png(data)
     raise ImageCodecError(
-        "unsupported image container (only BMP / binary PPM / PGM without "
-        "external codec libraries)"
+        "unsupported image container (only BMP / PNG / binary PPM / PGM "
+        "without external codec libraries; JPEG/TIFF need a codec lib)"
     )
 
 

@@ -52,9 +52,11 @@ def make_media_table(n: int, seed: int = 5, kind: str = "image") -> pa.Table:
 class ImageDecoder:
     """Actor-pool decode stage.
 
-    REAL decode path for BMP / binary PPM / PGM payloads (pure-numpy codecs,
-    ``kernels/imaging.py`` — these containers need no external libraries).
-    JPEG/PNG/etc. remain honestly unsupported in this environment: without
+    REAL decode path for BMP / PNG / binary PPM / PGM payloads (pure-numpy
+    codecs, ``kernels/imaging.py`` + ``kernels/png.py`` — these containers
+    need no external libraries; PNG is zlib + the Sub/Up/Average/Paeth
+    predictor family already proven by the PDF xref-stream path).
+    JPEG/TIFF remain honestly unsupported in this environment: without
     ``fake=True`` they raise ``NotImplementedError`` naming the format;
     ``fake=True`` keeps the deterministic synthetic decode (payload bytes
     reshaped via the meta struct) for plumbing tests.
@@ -85,8 +87,8 @@ class ImageDecoder:
         else:
             raise NotImplementedError(
                 f"no codec for {meta.get('mime', 'unknown')!r} in this environment "
-                "(BMP / binary PPM / PGM decode natively; JPEG/PNG need an "
-                "external library — plug one in here)"
+                "(BMP / PNG / binary PPM / PGM decode natively; JPEG/TIFF need "
+                "an external library — plug one in here)"
             )
         if self._resize:
             img = resize_nearest(img, *self._resize)

@@ -170,3 +170,64 @@ def test_box_point4_roundtrip():
     pts = box_to_point4(boxes)
     assert pts.shape == (8, 2)
     assert np.array_equal(point4_to_box(pts), boxes)
+
+
+# ------------------------------------------------------------------- PNG
+
+
+def test_png_roundtrip_all_filters_and_types():
+    """encode(filter f) → decode must be identity for every scanline filter
+    (None/Sub/Up/Average/Paeth) and color type (grey, grey+alpha, RGB, RGBA)."""
+    import numpy as np
+
+    from deepdoctection_ray.kernels.png import decode_png, encode_png
+
+    rng = np.random.RandomState(11)
+    for shape in [(1, 1), (7, 5), (20, 33)]:
+        for ch in (None, 2, 3, 4):
+            img = rng.randint(0, 256, shape + ((ch,) if ch else ()), dtype=np.uint8)
+            for ft in range(5):
+                rt = decode_png(encode_png(img, filter_type=ft))
+                assert rt.shape == img.shape and (rt == img).all(), (shape, ch, ft)
+
+
+def test_png_palette_and_errors():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from deepdoctection_ray.kernels.png import (
+        ImageCodecError, _SIG, _chunk, decode_png,
+    )
+
+    pal = bytes(range(12))
+    idx = np.array([[0, 1], [2, 3]], np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    png = (
+        _SIG
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert out.shape == (2, 2, 3) and (out[1, 1] == [9, 10, 11]).all()
+    with pytest.raises(ImageCodecError, match="signature"):
+        decode_png(b"nope")
+    png16 = _SIG + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+    with pytest.raises(ImageCodecError, match="8-bit"):
+        decode_png(png16)
+
+
+def test_decode_image_dispatches_png():
+    import numpy as np
+
+    from deepdoctection_ray.kernels.imaging import decode_image, sniff_mime
+    from deepdoctection_ray.kernels.png import encode_png
+
+    img = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    data = encode_png(img, filter_type=4)
+    assert sniff_mime(data) == "image/png"
+    assert (decode_image(data) == img).all()
