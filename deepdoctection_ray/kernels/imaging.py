@@ -32,6 +32,10 @@ def sniff_mime(data: bytes) -> str | None:
         return "image/x-portable-pixmap"
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return "image/png"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "image/tiff"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
     return None
 
 
@@ -131,9 +135,18 @@ def decode_image(data: bytes) -> np.ndarray:
         from .png import decode_png
 
         return decode_png(data)
+    if mime == "image/tiff":
+        from .tiff import decode_tiff
+
+        return decode_tiff(data)
+    if mime == "image/gif":
+        from .gif import decode_gif
+
+        return decode_gif(data)
     raise ImageCodecError(
-        "unsupported image container (only BMP / PNG / binary PPM / PGM "
-        "without external codec libraries; JPEG/TIFF need a codec lib)"
+        "unsupported image container (only BMP / PNG / GIF / uncompressed "
+        "TIFF / binary PPM / PGM without external codec libraries; JPEG and "
+        "compressed TIFF need a codec lib)"
     )
 
 

@@ -231,3 +231,137 @@ def test_decode_image_dispatches_png():
     data = encode_png(img, filter_type=4)
     assert sniff_mime(data) == "image/png"
     assert (decode_image(data) == img).all()
+
+
+# ------------------------------------------------------------------ TIFF
+
+
+def test_tiff_roundtrip_both_endians():
+    import numpy as np
+
+    from deepdoctection_ray.kernels.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(7)
+    for shape in [(1, 1), (6, 9), (20, 13)]:
+        for ch in (None, 3):
+            img = rng.randint(0, 256, shape + ((ch,) if ch else ()), dtype=np.uint8)
+            for be in (False, True):
+                rt = decode_tiff(encode_tiff(img, big_endian=be))
+                assert rt.shape == img.shape and (rt == img).all(), (shape, ch, be)
+
+
+def test_tiff_errors_and_dispatch():
+    import numpy as np
+    import pytest
+
+    from deepdoctection_ray.kernels.imaging import decode_image, sniff_mime
+    from deepdoctection_ray.kernels.tiff import (
+        ImageCodecError, decode_tiff, encode_tiff,
+    )
+
+    img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    data = encode_tiff(img)
+    assert sniff_mime(data) == "image/tiff"
+    assert (decode_image(data) == img).all()
+    with pytest.raises(ImageCodecError, match="byte-order"):
+        decode_tiff(b"nope")
+    # flip the Compression tag value to 5 (LZW) -> honest rejection
+    bad = bytearray(data)
+    import struct
+
+    ifd_off = struct.unpack_from("<I", bad, 4)[0]
+    n = struct.unpack_from("<H", bad, ifd_off)[0]
+    for i in range(n):
+        pos = ifd_off + 2 + 12 * i
+        if struct.unpack_from("<H", bad, pos)[0] == 259:
+            struct.pack_into("<H", bad, pos + 8, 5)
+    with pytest.raises(ImageCodecError, match="uncompressed"):
+        decode_tiff(bytes(bad))
+
+
+# ------------------------------------------------------------------- GIF
+
+
+def test_gif_roundtrip_and_width_growth():
+    import numpy as np
+
+    from deepdoctection_ray.kernels.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(5)
+    for shape, ncol in [((1, 1), 2), ((8, 11), 16), ((64, 80), 200), ((120, 150), 256)]:
+        pal = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.randint(0, ncol, shape)]
+        rt = decode_gif(encode_gif(img))
+        assert rt.shape == img.shape and (rt == img).all(), (shape, ncol)
+    g = rng.randint(0, 200, (10, 10), dtype=np.uint8)
+    assert (decode_gif(encode_gif(g)) == np.stack([g] * 3, axis=2)).all()
+
+
+def test_gif_spec_bytes_and_width_schedule():
+    """Hand-built GIF independent of the encoder: min_code=2, the 3→4-bit
+    switch happens once the decoder's table reaches 8 slots (after the third
+    data code) — the giflib/spec convention."""
+    import struct
+
+    import numpy as np
+
+    from deepdoctection_ray.kernels.gif import decode_gif
+
+    codes = [(4, 3), (0, 3), (1, 3), (1, 3), (0, 4), (5, 4)]  # clear 0 1 1 0 eoi
+    bitbuf = bits = 0
+    data = bytearray()
+    for c, w in codes:
+        bitbuf |= c << bits
+        bits += w
+        while bits >= 8:
+            data.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bits -= 8
+    if bits:
+        data.append(bitbuf & 0xFF)
+    gif = b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)
+    gif += bytes([0, 0, 0, 255, 255, 255, 0, 0, 0, 0, 0, 0])
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0) + bytes([2])
+    gif += bytes([len(data)]) + bytes(data) + b"\x00\x3b"
+    out = decode_gif(gif)
+    want = np.array([[[0, 0, 0], [255, 255, 255]], [[255, 255, 255], [0, 0, 0]]])
+    assert (out == want).all()
+
+
+def test_gif_interlace_and_extensions():
+    """Interlaced storage order de-interlaces, and extension blocks (e.g. a
+    graphic-control extension) are skipped."""
+    import struct
+
+    import numpy as np
+
+    from deepdoctection_ray.kernels.gif import decode_gif, encode_gif
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    rng = np.random.RandomState(2)
+    img = pal[rng.randint(0, 4, (8, 5))]
+    # encode the ROW-PERMUTED image, then flip the interlace flag: the decoder
+    # must undo the permutation (h=8 passes: 0, 4, 2,6, 1,3,5,7)
+    storage_order = [0, 4, 2, 6, 1, 3, 5, 7]
+    enc = bytearray(encode_gif(img[storage_order]))
+    n_pal = (len(enc) - enc[::-1].index(0x3B)) and (2 << (enc[10] & 0x07))
+    desc_off = 13 + 3 * n_pal
+    assert enc[desc_off] == 0x2C
+    enc[desc_off + 9] |= 0x40  # set interlace flag
+    # splice a graphic-control extension ahead of the descriptor
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    enc = bytes(enc[:desc_off]) + gce + bytes(enc[desc_off:])
+    assert (decode_gif(enc) == img).all()
+
+
+def test_decode_image_dispatches_gif():
+    import numpy as np
+
+    from deepdoctection_ray.kernels.gif import encode_gif
+    from deepdoctection_ray.kernels.imaging import decode_image, sniff_mime
+
+    img = np.zeros((3, 3, 3), np.uint8)
+    img[1, 1] = [200, 100, 50]
+    data = encode_gif(img)
+    assert sniff_mime(data) == "image/gif"
+    assert (decode_image(data) == img).all()
