@@ -24,6 +24,8 @@ __all__ = [
     "render_page",
     "ink_stats",
     "estimate_skew_from_pixels",
+    "boxes_from_pixels",
+    "detect_words_from_pixels",
 ]
 
 
@@ -108,3 +110,90 @@ def estimate_skew_from_pixels(
     scores = np.array([energy(a) for a in coarse])
     near = np.where(scores >= scores.max() - 1e-9)[0]
     return float(coarse[near[len(near) // 2]])
+
+
+def boxes_from_pixels(img: np.ndarray, threshold: int = 128) -> np.ndarray:
+    """Bounding boxes of 4-connected dark components, [N, 4] half-open pixel
+    coords (x0, y0, x1, y1) sorted by (y0, x0) — the pixel-space detector
+    primitive: run-based two-pass connected-component labeling (union-find
+    over per-row ink runs; runs are found vectorized per row, the Python loop
+    is over RUNS, not pixels)."""
+    dark = img < threshold
+    h, w = dark.shape
+    parent: list[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    # per-row runs via diff on the padded mask
+    run_rows: list[tuple[int, int, int, int]] = []  # (y, x0, x1, label)
+    prev_runs: list[tuple[int, int, int]] = []  # (x0, x1, label) of row y-1
+    for y in range(h):
+        row = dark[y]
+        if not row.any():
+            prev_runs = []
+            continue
+        d = np.diff(np.concatenate([[0], row.view(np.int8), [0]]))
+        starts = np.nonzero(d == 1)[0]
+        ends = np.nonzero(d == -1)[0]
+        cur: list[tuple[int, int, int]] = []
+        pi = 0
+        for x0, x1 in zip(starts, ends):
+            lab = -1
+            while pi < len(prev_runs) and prev_runs[pi][1] <= x0:
+                pi += 1
+            pj = pi
+            while pj < len(prev_runs) and prev_runs[pj][0] < x1:
+                if lab == -1:
+                    lab = prev_runs[pj][2]
+                else:
+                    union(lab, prev_runs[pj][2])
+                pj += 1
+            if lab == -1:
+                lab = len(parent)
+                parent.append(lab)
+            cur.append((int(x0), int(x1), lab))
+            run_rows.append((y, int(x0), int(x1), lab))
+        prev_runs = cur
+    if not run_rows:
+        return np.empty((0, 4), dtype=np.int64)
+    boxes: dict[int, list[int]] = {}
+    for y, x0, x1, lab in run_rows:
+        root = find(lab)
+        b = boxes.get(root)
+        if b is None:
+            boxes[root] = [x0, y, x1, y + 1]
+        else:
+            b[0] = min(b[0], x0)
+            b[2] = max(b[2], x1)
+            b[3] = y + 1
+    out = np.array(sorted(boxes.values(), key=lambda b: (b[1], b[0])), dtype=np.int64)
+    return out
+
+
+def detect_words_from_pixels(img: np.ndarray, dpi: int = 36) -> list[dict]:
+    """Pixel-space word detection: connected ink components back-projected to
+    point coordinates — the raster analog of a layout detector's output shape
+    (``{x0, top, x1, bottom, score}``), ready for the ReplayDetector /
+    ``attach_detections`` offline-inference path. On glyph-box rasters the
+    recovered boxes equal the rendered word rects exactly (pinned in tests);
+    on real scans this is the classic run-length CC word detector."""
+    scale = dpi / 72.0
+    return [
+        {
+            "x0": round(b[0] / scale, 2),
+            "top": round(b[1] / scale, 2),
+            "x1": round(b[2] / scale, 2),
+            "bottom": round(b[3] / scale, 2),
+            "score": 1.0,
+        }
+        for b in boxes_from_pixels(img)
+    ]

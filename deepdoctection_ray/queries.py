@@ -2210,6 +2210,55 @@ FROM read_parquet('/tmp/ddray_fixtures/pdf_truth.parquet')
 """
 
 
+def q_detect_from_pixels(sf_dir: str) -> ray.data.Dataset:
+    """Pixel-space layout detection end to end: PDF bytes → container parse →
+    rasterize → connected-component word detector (kernels/raster.py) → one
+    detection per ink component. Words render as disjoint glyph boxes, so the
+    recovered component count per page must equal the construction-truth word
+    count — an oracle over the full bytes→pixels→detections chain (the
+    ReplayDetector / attach_detections offline-inference input shape)."""
+    import json as _json
+    import os as _os
+
+    from . import fixtures
+    from .kernels.raster import detect_words_from_pixels, render_words
+    from .sources import read_pdf
+
+    fixtures.ensure_fixtures()
+    pages = read_pdf(_os.path.join(fixtures.FIXTURE_DIR, "pdfs"))
+
+    def detect(batch: pa.Table) -> pa.Table:
+        fns, pns, counts = [], [], []
+        for fn, pn, payload in zip(
+            batch["file_name"].to_pylist(),
+            batch["page_number"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            d = _json.loads(payload)
+            img = render_words(d["words"], d["page"]["width"], d["page"]["height"], dpi=36)
+            fns.append(fn)
+            pns.append(pn)
+            counts.append(len(detect_words_from_pixels(img, dpi=36)))
+        return pa.table(
+            {
+                "file_name": pa.array(fns, pa.string()),
+                "page_number": pa.array(pns, pa.int64()),
+                "n_boxes": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return pages.map_batches(detect, batch_format="pyarrow", batch_size=64)
+
+
+Q_DETECT_FROM_PIXELS_SQL = r"""
+-- construction truth: each page's word count (words are rendered as
+-- DISJOINT glyph boxes, so ink components == words)
+SELECT file_name, page_number,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT AS n_boxes
+FROM read_parquet('/tmp/ddray_fixtures/pdf_truth.parquet')
+"""
+
+
 def q_layoutlm_features(sf_dir: str) -> ray.data.Dataset:
     """LayoutLM feature mapping over the PDF fixture pages: word-piece
     tokenize, align boxes, build sliding windows (max_length=32, stride=8 so
@@ -2513,6 +2562,7 @@ def build_queries() -> dict:
         "q_knn_lsh": q_knn_lsh,
         "q_knn_ivf": q_knn_ivf,
         "q_render_pdf": q_render_pdf,
+        "q_detect_from_pixels": q_detect_from_pixels,
         # --- flagship pipelines ---
         "q_extract_transcripts": q_extract_transcripts,
         "q_extract_layout": q_extract_layout,
@@ -2549,8 +2599,8 @@ def build_queries() -> dict:
         "q_events_sessionize": q_events_sessionize,
         "q_events_asof": q_events_asof,
         "q_events_range_join": q_events_range_join,
-        "q_customer_order_counts": q_customer_order_counts,
         # --- near-duplicate variants (green driver rows on record in r03) ---
+        "q_customer_order_counts": q_customer_order_counts,
         "q_events_by_type": q_events_by_type,
         "q_orders_by_segment": q_orders_by_segment,
         "q_top10_orders": q_top10_orders,
@@ -2630,6 +2680,7 @@ def build_oracle_sql() -> dict:
         "q_pubtables_segment": Q_PUBTABLES_SQL,
         "q_read_pdf": Q_READ_PDF_SQL,
         "q_render_pdf": Q_RENDER_PDF_SQL,
+        "q_detect_from_pixels": Q_DETECT_FROM_PIXELS_SQL,
         "q_layoutlm_features": Q_LAYOUTLM_SQL,
         "q_deskew": Q_DESKEW_SQL,
         "q_layout_links": Q_LAYOUT_LINKS_SQL,

@@ -516,3 +516,70 @@ def test_deskew_from_pixels_matches_geometry_estimator():
         boxes = np.array([[w["x0"], w["top"], w["x1"], w["bottom"]] for w in words])
         geo_angle = estimate_skew_angle(boxes, limit_deg=10.0)
         assert abs(px_angle - geo_angle) <= 0.5, (d["true_angle"], px_angle, geo_angle)
+
+
+def test_pixel_detector_recovers_word_boxes():
+    """Connected-component detection over the rendered raster must recover
+    every word's glyph box (words render disjoint), back-projected to point
+    coords within one pixel at the render scale — the bytes→pixels→detections
+    chain the ReplayDetector path consumes."""
+    from deepdoctection_ray.kernels.raster import (
+        detect_words_from_pixels, render_page,
+    )
+    from deepdoctection_ray.synth import make_pdf_corpus
+
+    files, truth = make_pdf_corpus(6, seed=42)
+    by_page = {(t["file_name"], t["page_number"]): t for t in truth}
+    tol = 72.0 / 36.0  # one pixel at dpi 36, in points
+    for name, data in files:
+        reader = PdfReader(data)
+        for p in range(reader.num_pages):
+            words = sorted(
+                reader.page_words(p), key=lambda w: (w["top"], w["x0"])
+            )
+            det = detect_words_from_pixels(render_page(reader, p, dpi=36), dpi=36)
+            n_words = len(by_page[(name, p)]["text"].split())
+            assert len(det) == len(words) == n_words, (name, p)
+            for w, d in zip(words, det):
+                for k in ("x0", "top", "x1", "bottom"):
+                    assert abs(d[k] - w[k]) <= tol, (name, p, k, d, w)
+
+
+def test_boxes_from_pixels_matches_flood_fill_fuzz():
+    """Run-based union-find CC labeling vs a brute-force flood fill on random
+    bitmaps (4-connectivity, half-open boxes)."""
+    import numpy as np
+
+    from deepdoctection_ray.kernels.raster import boxes_from_pixels
+
+    def brute(img):
+        dark = img < 128
+        h, w = dark.shape
+        seen = np.zeros_like(dark, bool)
+        boxes = []
+        for y in range(h):
+            for x in range(w):
+                if dark[y, x] and not seen[y, x]:
+                    stack = [(y, x)]
+                    seen[y, x] = True
+                    x0 = x1 = x
+                    y0 = y1 = y
+                    while stack:
+                        cy, cx = stack.pop()
+                        x0, x1 = min(x0, cx), max(x1, cx)
+                        y0, y1 = min(y0, cy), max(y1, cy)
+                        for ny, nx in ((cy + 1, cx), (cy - 1, cx), (cy, cx + 1), (cy, cx - 1)):
+                            if 0 <= ny < h and 0 <= nx < w and dark[ny, nx] and not seen[ny, nx]:
+                                seen[ny, nx] = True
+                                stack.append((ny, nx))
+                    boxes.append([x0, y0, x1 + 1, y1 + 1])
+        return np.array(sorted(boxes, key=lambda b: (b[1], b[0])), np.int64).reshape(-1, 4)
+
+    for t in range(40):
+        rng = np.random.RandomState(t)
+        img = np.where(rng.rand(rng.randint(1, 18), rng.randint(1, 18)) < 0.35, 0, 255).astype(
+            np.uint8
+        )
+        got = boxes_from_pixels(img)
+        want = brute(img)
+        assert got.shape == want.shape and (got == want).all(), t
