@@ -10,10 +10,12 @@ and drops them around heavy stages (``maybe_load_image`` /
   ``map_batches`` stages with small ``batch_size`` (payloads are wide);
 - the binary column is projected away the moment the consuming stage is done.
 
-The image/audio codecs are NOT in this container, so the codec call is stubbed
-(STUB: raises ``NotImplementedError`` unless ``fake=True``, which produces a
-deterministic synthetic decode). The Ray-side plumbing — schema, actor
-signature, batch sizing, output layout — is real and tested.
+Codec status: BMP/PNG/GIF/uncompressed-TIFF/PPM/PGM images and WAV-PCM audio
+decode NATIVELY (pure numpy codecs under ``kernels/``); JPEG, compressed
+TIFF and compressed audio (MP3/AAC) are not decodable without external libs
+and raise ``NotImplementedError`` unless ``fake=True`` (deterministic
+synthetic decode for plumbing tests). The Ray-side plumbing — schema, actor
+signature, batch sizing, output layout — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -112,6 +114,68 @@ class ImageDecoder:
             pa.array(
                 feats,
                 pa.struct([("mean", pa.float64()), ("std", pa.float64()), ("n_pixels", pa.int64())]),
+            ),
+        )
+
+
+class AudioFeatures:
+    """Actor-pool audio feature stage: REAL decode for WAV/PCM payloads
+    (``kernels/wav.py`` — integer PCM 8/16/24/32-bit and float32, any channel
+    count), optional linear resample, then a deterministic per-clip feature
+    row (duration / RMS / peak / zero-crossing rate). Compressed audio
+    raises honestly; ``fake=True`` synthesizes samples from the payload bytes
+    for plumbing tests. The binary column never crosses this stage."""
+
+    def __init__(self, fake: bool = False, resample_to: int | None = None) -> None:
+        self._fake = fake
+        self._resample = resample_to
+
+    def _decode(self, payload: bytes, meta: dict) -> tuple[np.ndarray, int]:
+        from ..kernels.wav import AudioCodecError, decode_wav
+
+        if self._fake:
+            x = (np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+            return x[:, None], 8000
+        try:
+            return decode_wav(payload)
+        except AudioCodecError as exc:
+            raise NotImplementedError(
+                f"no audio codec for this payload in this environment ({exc}); "
+                "WAV/PCM decodes natively — plug a codec lib in here for "
+                "MP3/AAC/OGG"
+            ) from exc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.wav import audio_features, resample_linear
+
+        feats = []
+        metas = batch["media_meta"].to_pylist() if "media_meta" in batch.column_names else [
+            {} for _ in range(len(batch))
+        ]
+        for payload, meta in zip(batch["payload"].to_pylist(), metas):
+            samples, rate = self._decode(payload, meta)
+            if self._resample and rate != self._resample:
+                samples = resample_linear(samples, rate, self._resample)
+                rate = self._resample
+            f = audio_features(samples, rate)
+            f["rate"] = rate
+            f["channels"] = int(samples.shape[1]) if samples.ndim == 2 else 1
+            feats.append(f)
+        out = batch.drop_columns(["payload"])
+        return out.append_column(
+            "audio_features",
+            pa.array(
+                feats,
+                pa.struct(
+                    [
+                        ("duration_sec", pa.float64()),
+                        ("rms", pa.float64()),
+                        ("peak", pa.float64()),
+                        ("zcr", pa.float64()),
+                        ("rate", pa.int64()),
+                        ("channels", pa.int64()),
+                    ]
+                ),
             ),
         )
 

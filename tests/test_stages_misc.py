@@ -453,3 +453,57 @@ def test_range_join_overlapping_intervals(ray_session):
     got = set(zip(out["row"], out["wid"]))
     # ts=15 in 'a' falls in BOTH overlapping windows; ts=50 in 'b' matches none
     assert got == {(0, 0), (1, 0), (1, 1), (2, 1), (3, 2)}
+
+
+def test_audio_features_stage_real_wav(ray_session):
+    """AudioFeatures actor stage decodes real WAV/PCM payloads in a Ray
+    pipeline, drops the binary column, and emits deterministic features."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from deepdoctection_ray.kernels.wav import encode_wav
+    from deepdoctection_ray.stages.multimodal import AudioFeatures
+
+    t = np.linspace(0, 1, 8000)
+    rows = []
+    for i, freq in enumerate([220, 440, 880]):
+        sig = 0.5 * np.sin(2 * np.pi * freq * t)
+        rows.append({"media_id": i, "payload": encode_wav(sig, 8000)})
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([r["media_id"] for r in rows], pa.int64()),
+                "payload": pa.array([r["payload"] for r in rows], pa.binary()),
+            }
+        )
+    )
+    out = ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", concurrency=(1, 2), batch_size=2
+    ).to_pandas()
+    assert "payload" not in out.columns
+    f = out.sort_values("media_id")["audio_features"].tolist()
+    for row in f:
+        assert abs(row["rms"] - 0.3536) < 0.01
+        assert row["duration_sec"] == 1.0 and row["rate"] == 8000 and row["channels"] == 1
+    # zero-crossing rate doubles with frequency
+    assert f[0]["zcr"] < f[1]["zcr"] < f[2]["zcr"]
+    # resample path halves the duration's sample count, not its seconds
+    rs = ds.map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        fn_constructor_kwargs=dict(resample_to=4000),
+    ).to_pandas()
+    row = rs.sort_values("media_id")["audio_features"].iloc[0]
+    assert row["rate"] == 4000 and abs(row["duration_sec"] - 1.0) < 0.001
+
+
+def test_audio_features_rejects_non_wav(ray_session):
+    import pytest
+
+    from deepdoctection_ray.stages.multimodal import AudioFeatures
+
+    stage = AudioFeatures()
+    with pytest.raises(NotImplementedError, match="WAV/PCM decodes natively"):
+        stage._decode(b"\xff\xfb\x90\x00 mp3-ish", {})
