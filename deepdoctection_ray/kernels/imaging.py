@@ -36,6 +36,8 @@ def sniff_mime(data: bytes) -> str | None:
         return "image/tiff"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "image/gif"
+    if data[:3] == b"\xff\xd8\xff":
+        return "image/jpeg"
     return None
 
 
@@ -143,10 +145,15 @@ def decode_image(data: bytes) -> np.ndarray:
         from .gif import decode_gif
 
         return decode_gif(data)
+    if mime == "image/jpeg":
+        # baseline sequential JPEG (kernels/jpeg.py); progressive raises
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise ImageCodecError(
-        "unsupported image container (only BMP / PNG / GIF / uncompressed "
-        "TIFF / binary PPM / PGM without external codec libraries; JPEG and "
-        "compressed TIFF need a codec lib)"
+        "unsupported image container (BMP / PNG / GIF / baseline JPEG / "
+        "uncompressed TIFF / binary PPM / PGM decode natively; progressive "
+        "JPEG and compressed TIFF need a codec lib)"
     )
 
 

@@ -365,3 +365,140 @@ def test_decode_image_dispatches_gif():
     data = encode_gif(img)
     assert sniff_mime(data) == "image/gif"
     assert (decode_image(data) == img).all()
+
+
+# ------------------------------------------------------------------- JPEG
+
+
+def test_jpeg_idct_matches_direct_formula():
+    """IDCT kernel vs the direct T.81 double-sum (independent of the DCT
+    implementation) + DCT/IDCT inversion."""
+    import numpy as np
+
+    from deepdoctection_ray.kernels.jpeg import dct2, idct2
+
+    rng = np.random.RandomState(1)
+    coef = rng.randint(-300, 300, (8, 8)).astype(float)
+    direct = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            direct[x, y] = s / 4
+    assert np.abs(idct2(coef) - direct).max() < 1e-9
+    blk = rng.randint(0, 256, (8, 8)).astype(float)
+    assert np.abs(idct2(dct2(blk)) - blk).max() < 1e-9
+
+
+def test_jpeg_huffman_and_extend_pinned():
+    from deepdoctection_ray.kernels.jpeg import _extend, build_huffman_codes
+
+    codes = build_huffman_codes([0, 1, 2] + [0] * 13, [7, 3, 9])
+    assert codes == {7: (0b00, 2), 3: (0b010, 3), 9: (0b011, 3)}
+    assert _extend(0b011, 3) == -4 and _extend(0b100, 3) == 4
+    assert _extend(0, 1) == -1 and _extend(1, 1) == 1
+
+
+def _handbuilt_jpeg(width, n_mcus, dri):
+    """Minimal spec-bytes stream: identity quant, 1-bit Huffman tables,
+    DC-only blocks of coefficient 80 (uniform pixel value 138)."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, width, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += b"\xff\xc4" + struct.pack(">H", 20) + bytes([0x00, 1] + [0] * 15 + [7])
+    out += b"\xff\xc4" + struct.pack(">H", 20) + bytes([0x10, 1] + [0] * 15 + [0x00])
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def mcu_bits():
+        return "0" + format(80, "07b") + "0"  # DC code+magnitude, AC EOB
+
+    if dri:
+        for i in range(n_mcus):
+            bits = mcu_bits()
+            bits += "1" * (-len(bits) % 8)
+            out += int(bits, 2).to_bytes(len(bits) // 8, "big")
+            if i < n_mcus - 1:
+                out += bytes([0xFF, 0xD0 + (i % 8)])
+    else:
+        bits = "".join(mcu_bits() for _ in range(n_mcus))
+        bits += "1" * (-len(bits) % 8)
+        out += int(bits, 2).to_bytes(len(bits) // 8, "big")
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_spec_bytes_decode_and_restart_reset():
+    from deepdoctection_ray.kernels.jpeg import decode_jpeg
+
+    img = decode_jpeg(_handbuilt_jpeg(8, 1, 0))
+    assert img.shape == (8, 8) and (img == 138).all()
+    # without restarts the second DC is a DIFF: 128 + 160/8 = 148
+    img = decode_jpeg(_handbuilt_jpeg(16, 2, 0))
+    assert (img[:, :8] == 138).all() and (img[:, 8:] == 148).all()
+    # DRI=1: the predictor must reset at the RST marker -> both 138
+    img = decode_jpeg(_handbuilt_jpeg(16, 2, 1))
+    assert (img == 138).all()
+
+
+def test_jpeg_roundtrips_and_dispatch():
+    import numpy as np
+
+    from deepdoctection_ray.kernels.imaging import decode_image, sniff_mime
+    from deepdoctection_ray.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    # flat grey: near-lossless at q90
+    img = np.full((16, 24), 130, np.uint8)
+    rt = decode_jpeg(encode_jpeg(img, 90))
+    assert rt.shape == img.shape and np.abs(rt.astype(int) - 130).max() <= 1
+    # smooth gradient grey: exact at q95 (all energy in low frequencies)
+    yy, xx = np.mgrid[0:33, 0:41]
+    img = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    rt = decode_jpeg(encode_jpeg(img, 95))
+    err = np.abs(rt.astype(int) - img.astype(int))
+    assert np.sqrt((err**2).mean()) < 6
+    # smoothed RGB, 4:4:4 and 4:2:0, odd sizes
+    rng = np.random.RandomState(3)
+    sm = rng.randint(0, 256, (24, 24, 3)).astype(float)
+    for _ in range(3):
+        sm = (
+            np.roll(sm, 1, 0) + np.roll(sm, -1, 0) + np.roll(sm, 1, 1) + np.roll(sm, -1, 1) + sm
+        ) / 5
+    sm = sm.astype(np.uint8)
+    rt = decode_jpeg(encode_jpeg(sm, 95))
+    assert np.sqrt(((rt.astype(int) - sm.astype(int)) ** 2).mean()) < 8
+    rt = decode_jpeg(encode_jpeg(sm, 95, subsample=True))
+    assert np.sqrt(((rt.astype(int) - sm.astype(int)) ** 2).mean()) < 14
+    odd = sm[:17, :19]
+    assert decode_jpeg(encode_jpeg(odd, 90, subsample=True)).shape == odd.shape
+    # dispatch
+    data = encode_jpeg(sm, 90)
+    assert sniff_mime(data) == "image/jpeg"
+    assert decode_image(data).shape == sm.shape
+
+
+def test_jpeg_progressive_rejected():
+    import struct
+
+    import pytest
+
+    from deepdoctection_ray.kernels.jpeg import ImageCodecError, decode_jpeg
+
+    data = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    data += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    with pytest.raises(ImageCodecError, match="baseline"):
+        decode_jpeg(bytes(data))
