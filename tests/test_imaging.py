@@ -265,7 +265,7 @@ def test_tiff_errors_and_dispatch():
     assert (decode_image(data) == img).all()
     with pytest.raises(ImageCodecError, match="byte-order"):
         decode_tiff(b"nope")
-    # flip the Compression tag value to 5 (LZW) -> honest rejection
+    # flip the Compression tag value to 7 (JPEG-in-TIFF) -> honest rejection
     bad = bytearray(data)
     import struct
 
@@ -274,8 +274,8 @@ def test_tiff_errors_and_dispatch():
     for i in range(n):
         pos = ifd_off + 2 + 12 * i
         if struct.unpack_from("<H", bad, pos)[0] == 259:
-            struct.pack_into("<H", bad, pos + 8, 5)
-    with pytest.raises(ImageCodecError, match="uncompressed"):
+            struct.pack_into("<H", bad, pos + 8, 7)
+    with pytest.raises(ImageCodecError, match="unsupported TIFF Compression"):
         decode_tiff(bytes(bad))
 
 
@@ -502,3 +502,32 @@ def test_jpeg_progressive_rejected():
     data += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
     with pytest.raises(ImageCodecError, match="baseline"):
         decode_jpeg(bytes(data))
+
+
+def test_tiff_compressed_variants_roundtrip():
+    """LZW (the PDF MSB-first EarlyChange dialect), Deflate and PackBits
+    strips, with and without the horizontal predictor, both endians."""
+    import numpy as np
+
+    from deepdoctection_ray.kernels.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(7)
+    for shape in [(1, 1), (6, 9), (40, 33)]:
+        for ch in (None, 3):
+            img = rng.randint(0, 256, shape + ((ch,) if ch else ()), dtype=np.uint8)
+            for comp in ("none", "lzw", "deflate", "packbits"):
+                for pred in (False, True):
+                    rt = decode_tiff(
+                        encode_tiff(img, compression=comp, predictor=pred)
+                    )
+                    assert rt.shape == img.shape and (rt == img).all(), (comp, pred)
+
+
+def test_tiff_packbits_spec_bytes():
+    """PackBits decode pinned against the spec's own worked example."""
+    from deepdoctection_ray.kernels.tiff import _packbits_decode
+
+    # Apple PackBits reference example (TN1023)
+    enc = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    want = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22") + b"\xaa" * 10
+    assert _packbits_decode(enc) == want
