@@ -1,17 +1,21 @@
 """Pure-numpy image codecs and transforms — no PIL/OpenCV in this
-environment, but BMP and PPM/PGM are spec-simple enough to implement
-directly, which turns the multimodal decode stage from a declared stub into
-a real operator for the uncompressed formats:
+environment, so the multimodal decode stage implements the containers
+directly. This module holds BMP + netpbm and the transform kernels;
+``sniff_mime``/``decode_image`` also dispatch to the sibling codec modules:
 
-- BMP: 24-bit uncompressed BITMAPINFOHEADER, bottom-up or top-down rows,
-  4-byte row padding (the Windows DIB spec);
-- PPM (P6) / PGM (P5): binary netpbm with a single whitespace-separated
-  header;
-- nearest-neighbor resize and ITU-R 601 luma grayscale (the resize /
-  to-grayscale transforms the reference applies via its image deps,
-  ``utils/transform.py:145-200`` semantics).
+- BMP: 24-bit uncompressed BITMAPINFOHEADER (here);
+- PPM (P6) / PGM (P5): binary netpbm (here);
+- PNG: all five scanline filters, grey/RGB/RGBA/palette (``png.py``);
+- GIF: LSB-first LZW, interlace, palettes (``gif.py``);
+- JPEG: baseline sequential SOF0 (``jpeg.py``);
+- TIFF: uncompressed/LZW/Deflate/PackBits strips + predictor (``tiff.py``);
+- nearest-neighbor/bilinear resize and ITU-R 601 luma grayscale (the
+  resize / to-grayscale transforms the reference applies via its image
+  deps, ``utils/transform.py:145-200`` semantics).
 
-Encoders exist so fixtures are self-contained and round-trips are testable.
+Encoders exist so fixtures are self-contained and round-trips are testable;
+what no pure-Python path can cover (progressive JPEG, JPEG-in-TIFF, video)
+raises honestly.
 """
 
 from __future__ import annotations

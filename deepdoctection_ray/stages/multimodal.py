@@ -10,10 +10,11 @@ and drops them around heavy stages (``maybe_load_image`` /
   ``map_batches`` stages with small ``batch_size`` (payloads are wide);
 - the binary column is projected away the moment the consuming stage is done.
 
-Codec status: BMP/PNG/GIF/uncompressed-TIFF/PPM/PGM images and WAV-PCM audio
-decode NATIVELY (pure numpy codecs under ``kernels/``); JPEG, compressed
-TIFF and compressed audio (MP3/AAC) are not decodable without external libs
-and raise ``NotImplementedError`` unless ``fake=True`` (deterministic
+Codec status: BMP, PNG, GIF, baseline JPEG, TIFF (uncompressed / LZW /
+Deflate / PackBits), PPM/PGM images and WAV-PCM audio all decode NATIVELY
+(pure numpy codecs under ``kernels/``); progressive JPEG, JPEG-in-TIFF,
+compressed audio (MP3/AAC) and video are not decodable without external
+libs and raise ``NotImplementedError`` unless ``fake=True`` (deterministic
 synthetic decode for plumbing tests). The Ray-side plumbing — schema, actor
 signature, batch sizing, output layout — is real and tested either way.
 """
@@ -54,14 +55,12 @@ def make_media_table(n: int, seed: int = 5, kind: str = "image") -> pa.Table:
 class ImageDecoder:
     """Actor-pool decode stage.
 
-    REAL decode path for BMP / PNG / binary PPM / PGM payloads (pure-numpy
-    codecs, ``kernels/imaging.py`` + ``kernels/png.py`` — these containers
-    need no external libraries; PNG is zlib + the Sub/Up/Average/Paeth
-    predictor family already proven by the PDF xref-stream path).
-    JPEG/TIFF remain honestly unsupported in this environment: without
-    ``fake=True`` they raise ``NotImplementedError`` naming the format;
-    ``fake=True`` keeps the deterministic synthetic decode (payload bytes
-    reshaped via the meta struct) for plumbing tests.
+    REAL decode path for BMP / PNG / GIF / baseline-JPEG / TIFF / binary
+    PPM / PGM payloads (pure-numpy codecs under ``kernels/`` — no external
+    libraries). Codec-less formats (progressive JPEG, JPEG-in-TIFF) raise
+    ``NotImplementedError`` naming the format; ``fake=True`` keeps the
+    deterministic synthetic decode (payload bytes reshaped via the meta
+    struct) for plumbing tests.
 
     ``resize_to=(w, h)`` applies nearest-neighbor resize after decode —
     the ``ResizeTransform`` half of the reference's image pre-processing.
