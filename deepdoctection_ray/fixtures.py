@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 FIXTURE_DIR = "/tmp/ddray_fixtures"
-_VERSION = 12
+_VERSION = 13
 
 TRANSCRIPTS_DIR = "/tmp/ddray_transcripts_small"
 N_CONVS, SEED, HOT = 60, 42, 10
@@ -111,6 +111,8 @@ def ensure_fixtures() -> str:
         make_entity_docs,
         make_layout_docs,
         make_link_docs,
+        make_media_audio_corpus,
+        make_media_image_corpus,
         make_pdf_corpus,
         make_pubtables_docs,
         make_subimage_docs,
@@ -151,6 +153,12 @@ def ensure_fixtures() -> str:
     pq.write_table(make_pubtables_docs(N_PUBTABLES, seed=SEED), path("pubtables_docs"))
     pq.write_table(make_neardup_vecs(), path("neardup_vecs"))
     pq.write_table(make_boilerplate_docs(), path("boilerplate_docs"))
+    media_img, golden_img = make_media_image_corpus(60, seed=SEED)
+    pq.write_table(media_img, path("media_images"))
+    pq.write_table(golden_img, path("golden_image_stats"))
+    media_aud, golden_aud = make_media_audio_corpus(40, seed=SEED)
+    pq.write_table(media_aud, path("media_audio"))
+    pq.write_table(golden_aud, path("golden_audio_features"))
     pq.write_table(make_deskew_docs(100, seed=SEED), path("deskew_docs"))
     pq.write_table(make_entity_docs(400, seed=SEED), path("entity_docs"))
     link_docs, link_truth = make_link_docs(N_LINKS, seed=SEED)

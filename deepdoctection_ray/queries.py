@@ -2259,6 +2259,78 @@ FROM read_parquet('/tmp/ddray_fixtures/pdf_truth.parquet')
 """
 
 
+def q_decode_images(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal image decode under the gate: a fixture of REAL encoded
+    payloads cycling every native codec (BMP / PNG / GIF / LZW+PackBits TIFF /
+    PPM / baseline JPEG) runs through the ImageDecoder actor-pool stage; the
+    oracle is the golden single-threaded decode of the same bytes (the
+    golden-output pattern — distributed plumbing must reproduce it exactly;
+    the lossless codecs additionally equal the pre-encode arrays, pinned in
+    test_imaging.py)."""
+    from . import fixtures
+    from .stages.multimodal import ImageDecoder
+
+    fixtures.ensure_fixtures()
+    media = ray.data.read_parquet(fixtures.path("media_images"))
+    out = media.map_batches(
+        ImageDecoder, batch_format="pyarrow", concurrency=(1, 4), batch_size=16
+    )
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        feats = batch["features"].to_pylist()
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "mean": pa.array([f["mean"] for f in feats], pa.float64()),
+                "std": pa.array([f["std"] for f in feats], pa.float64()),
+                "n_pixels": pa.array([f["n_pixels"] for f in feats], pa.int64()),
+            }
+        )
+
+    return out.map_batches(flatten, batch_format="pyarrow")
+
+
+Q_DECODE_IMAGES_SQL = """
+-- golden single-threaded decode stats of the same encoded payloads
+SELECT media_id, mean, std, n_pixels
+FROM read_parquet('/tmp/ddray_fixtures/golden_image_stats.parquet')
+"""
+
+
+def q_audio_features(sf_dir: str) -> ray.data.Dataset:
+    """Multimodal audio under the gate: real WAV/PCM payloads (8/16/32-bit,
+    mono/stereo, mixed rates) through the AudioFeatures actor-pool stage;
+    oracle = golden single-threaded decode+features of the same bytes."""
+    from . import fixtures
+    from .stages.multimodal import AudioFeatures
+
+    fixtures.ensure_fixtures()
+    media = ray.data.read_parquet(fixtures.path("media_audio"))
+    out = media.map_batches(
+        AudioFeatures, batch_format="pyarrow", concurrency=(1, 4), batch_size=16
+    )
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        feats = batch["audio_features"].to_pylist()
+        cols = {"media_id": batch["media_id"]}
+        for k, typ in [
+            ("duration_sec", pa.float64()), ("rms", pa.float64()),
+            ("peak", pa.float64()), ("zcr", pa.float64()),
+            ("rate", pa.int64()), ("channels", pa.int64()),
+        ]:
+            cols[k] = pa.array([f[k] for f in feats], typ)
+        return pa.table(cols)
+
+    return out.map_batches(flatten, batch_format="pyarrow")
+
+
+Q_AUDIO_FEATURES_SQL = """
+-- golden single-threaded decode+features of the same WAV payloads
+SELECT media_id, duration_sec, rms, peak, zcr, rate, channels
+FROM read_parquet('/tmp/ddray_fixtures/golden_audio_features.parquet')
+"""
+
+
 def q_layoutlm_features(sf_dir: str) -> ray.data.Dataset:
     """LayoutLM feature mapping over the PDF fixture pages: word-piece
     tokenize, align boxes, build sliding windows (max_length=32, stride=8 so
@@ -2563,6 +2635,8 @@ def build_queries() -> dict:
         "q_knn_ivf": q_knn_ivf,
         "q_render_pdf": q_render_pdf,
         "q_detect_from_pixels": q_detect_from_pixels,
+        "q_decode_images": q_decode_images,
+        "q_audio_features": q_audio_features,
         # --- flagship pipelines ---
         "q_extract_transcripts": q_extract_transcripts,
         "q_extract_layout": q_extract_layout,
@@ -2591,8 +2665,6 @@ def build_queries() -> dict:
         "q_top_events_per_user": q_top_events_per_user,
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_lang_id": q_lang_id,
-        "q_doc_tokens": q_doc_tokens,
-        "q_doc_quality": q_doc_quality,
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_doc_stats_by_source": q_doc_stats_by_source,
         "q_extract_documents": q_extract_documents,
@@ -2600,6 +2672,8 @@ def build_queries() -> dict:
         "q_events_asof": q_events_asof,
         "q_events_range_join": q_events_range_join,
         # --- near-duplicate variants (green driver rows on record in r03) ---
+        "q_doc_tokens": q_doc_tokens,
+        "q_doc_quality": q_doc_quality,
         "q_customer_order_counts": q_customer_order_counts,
         "q_events_by_type": q_events_by_type,
         "q_orders_by_segment": q_orders_by_segment,
@@ -2681,6 +2755,8 @@ def build_oracle_sql() -> dict:
         "q_read_pdf": Q_READ_PDF_SQL,
         "q_render_pdf": Q_RENDER_PDF_SQL,
         "q_detect_from_pixels": Q_DETECT_FROM_PIXELS_SQL,
+        "q_decode_images": Q_DECODE_IMAGES_SQL,
+        "q_audio_features": Q_AUDIO_FEATURES_SQL,
         "q_layoutlm_features": Q_LAYOUTLM_SQL,
         "q_deskew": Q_DESKEW_SQL,
         "q_layout_links": Q_LAYOUT_LINKS_SQL,

@@ -96,7 +96,11 @@ class ImageDecoder:
         return img
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        metas = batch["media_meta"].to_pylist()
+        metas = (
+            batch["media_meta"].to_pylist()
+            if "media_meta" in batch.column_names
+            else [{} for _ in range(len(batch))]
+        )
         feats = []
         for payload, meta in zip(batch["payload"].to_pylist(), metas):
             img = self._decode(payload, meta)

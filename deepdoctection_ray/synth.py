@@ -666,6 +666,136 @@ def make_boilerplate_docs(n_docs: int = 40, repeats: int = 8) -> pa.Table:
     )
 
 
+def make_media_image_corpus(n_docs: int = 60, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+    """Deterministic encoded-image fixture + golden decode stats.
+
+    Each row carries a real encoded payload cycling through every native
+    codec path (BMP, PNG × filter types, GIF, TIFF × compressions, PPM, and
+    one baseline-JPEG variant). The golden table holds the grayscale
+    mean/std/pixel-count computed SINGLE-THREADED through the same
+    decode→gray kernels at fixture time — the golden-output pattern
+    (fixtures.py docstring): the oracle then checks that the distributed
+    actor-pool decode stage reproduces the single-threaded result exactly.
+    For the lossless codecs the decoded array additionally equals the
+    pre-encode array (pinned in test_imaging.py round trips)."""
+    import numpy as _np
+
+    from .kernels.gif import encode_gif
+    from .kernels.imaging import decode_image, encode_bmp, encode_ppm, to_grayscale
+    from .kernels.jpeg import encode_jpeg
+    from .kernels.png import encode_png
+    from .kernels.tiff import encode_tiff
+
+    encoders = [
+        ("bmp", lambda im: encode_bmp(im)),
+        ("png-f0", lambda im: encode_png(im, filter_type=0)),
+        ("png-f4", lambda im: encode_png(im, filter_type=4)),
+        ("gif", lambda im: encode_gif(im)),
+        ("tiff-lzw", lambda im: encode_tiff(im, compression="lzw", predictor=True)),
+        ("tiff-packbits", lambda im: encode_tiff(im, compression="packbits")),
+        ("ppm", lambda im: encode_ppm(im)),
+        ("jpeg", lambda im: encode_jpeg(im, quality=92)),
+    ]
+    rng = _np.random.RandomState(seed)
+    ids, payloads, mimes = [], [], []
+    g_ids, g_mean, g_std, g_npx = [], [], [], []
+    for i in range(n_docs):
+        name, enc = encoders[i % len(encoders)]
+        h, w = int(rng.randint(9, 40)), int(rng.randint(9, 40))
+        if name == "gif":
+            pal = rng.randint(0, 256, (16, 3), dtype=_np.uint8)
+            img = pal[rng.randint(0, 16, (h, w))]
+        elif name == "jpeg":
+            sm = rng.randint(0, 256, (h, w, 3)).astype(float)
+            for _ in range(3):  # smooth so the lossy path stays tame
+                sm = (
+                    _np.roll(sm, 1, 0) + _np.roll(sm, -1, 0)
+                    + _np.roll(sm, 1, 1) + _np.roll(sm, -1, 1) + sm
+                ) / 5
+            img = sm.astype(_np.uint8)
+        else:
+            img = rng.randint(0, 256, (h, w, 3), dtype=_np.uint8)
+        payload = enc(img)
+        grey = to_grayscale(decode_image(payload))  # single-threaded golden
+        ids.append(i)
+        payloads.append(payload)
+        mimes.append(name)
+        g_ids.append(i)
+        g_mean.append(round(float(grey.mean()), 6))
+        g_std.append(round(float(grey.std()), 6))
+        g_npx.append(int(grey.size))
+    media = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "codec": pa.array(mimes, pa.string()),
+        }
+    )
+    golden = pa.table(
+        {
+            "media_id": pa.array(g_ids, pa.int64()),
+            "mean": pa.array(g_mean, pa.float64()),
+            "std": pa.array(g_std, pa.float64()),
+            "n_pixels": pa.array(g_npx, pa.int64()),
+        }
+    )
+    return media, golden
+
+
+def make_media_audio_corpus(n_docs: int = 40, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+    """Deterministic WAV fixture + golden clip features (same golden-output
+    pattern as :func:`make_media_image_corpus`: features computed
+    single-threaded through decode at fixture time; the driver checks the
+    distributed AudioFeatures stage against them)."""
+    import numpy as _np
+
+    from .kernels.wav import audio_features, decode_wav, encode_wav
+
+    rng = _np.random.RandomState(seed)
+    ids, payloads = [], []
+    g = {"media_id": [], "duration_sec": [], "rms": [], "peak": [], "zcr": [],
+         "rate": [], "channels": []}
+    for i in range(n_docs):
+        rate = int(rng.choice([8000, 16000, 22050]))
+        bits = int(rng.choice([8, 16, 32]))
+        channels = int(rng.choice([1, 2]))
+        n = int(rng.randint(rate // 4, rate))
+        t = _np.arange(n) / rate
+        freq = float(rng.uniform(80, 2000))
+        amp = float(rng.uniform(0.2, 0.9))
+        sig = amp * _np.sin(2 * _np.pi * freq * t)
+        if channels == 2:
+            sig = _np.stack([sig, amp * _np.cos(2 * _np.pi * freq * t)], axis=1)
+        payload = encode_wav(sig, rate, bits=bits)
+        samples, r = decode_wav(payload)  # single-threaded golden
+        f = audio_features(samples, r)
+        ids.append(i)
+        payloads.append(payload)
+        g["media_id"].append(i)
+        for k in ("duration_sec", "rms", "peak", "zcr"):
+            g[k].append(f[k])
+        g["rate"].append(r)
+        g["channels"].append(channels)
+    media = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    golden = pa.table(
+        {
+            "media_id": pa.array(g["media_id"], pa.int64()),
+            "duration_sec": pa.array(g["duration_sec"], pa.float64()),
+            "rms": pa.array(g["rms"], pa.float64()),
+            "peak": pa.array(g["peak"], pa.float64()),
+            "zcr": pa.array(g["zcr"], pa.float64()),
+            "rate": pa.array(g["rate"], pa.int64()),
+            "channels": pa.array(g["channels"], pa.int64()),
+        }
+    )
+    return media, golden
+
+
 _KIND_BUILDERS = {"plain": _make_plain, "html": _make_html, "pdfish": _make_pdfish}
 _KIND_TOOL = {"plain": "", "html": "browser", "pdfish": "pdf_reader"}
 
