@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 FIXTURE_DIR = "/tmp/ddray_fixtures"
-_VERSION = 13
+_VERSION = 14
 
 TRANSCRIPTS_DIR = "/tmp/ddray_transcripts_small"
 N_CONVS, SEED, HOT = 60, 42, 10
@@ -101,12 +101,61 @@ def _golden_turns(transcripts: pa.Table) -> pa.Table:
     )
 
 
+N_BPE_MERGES = 160
+
+
+def _write_bpe_goldens(corpus: pa.Table) -> None:
+    """Golden BPE artifacts via the NAIVE recount-per-round trainer (the
+    independent implementation — the distributed path trains through the
+    incremental loop, so merge-list equality pins both the plumbing and the
+    algorithm) plus the single-threaded greedy encode of every doc."""
+    import hashlib
+    from collections import Counter
+
+    from .stages.bpe import _pretokenize, encode_word, train_bpe_naive
+
+    counts: Counter = Counter()
+    texts = corpus["text"].to_pylist()
+    for t in texts:
+        counts.update(_pretokenize(t, False))
+    merges = train_bpe_naive(dict(counts), N_BPE_MERGES)
+    pq.write_table(
+        pa.table(
+            {
+                "rank": pa.array(range(len(merges)), pa.int64()),
+                "lhs": pa.array([a for a, _ in merges], pa.string()),
+                "rhs": pa.array([b for _, b in merges], pa.string()),
+            }
+        ),
+        path("golden_bpe_merges"),
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+    n_tokens, fps = [], []
+    for t in texts:
+        toks: list[str] = []
+        for w in _pretokenize(t, False):
+            toks.extend(encode_word(w, ranks))
+        n_tokens.append(len(toks))
+        fps.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": corpus["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "tokens_fp": pa.array(fps, pa.string()),
+            }
+        ),
+        path("golden_bpe_tokens"),
+    )
+
+
 def ensure_fixtures() -> str:
     """Write all fixture/golden parquet under FIXTURE_DIR (idempotent)."""
     from .stages.classify import SequenceClassifier
     from .stages.extract import TurnExtractor
     from .synth import (
         make_boilerplate_docs,
+        make_bpe_corpus,
         make_deskew_docs,
         make_entity_docs,
         make_layout_docs,
@@ -167,6 +216,10 @@ def ensure_fixtures() -> str:
     sub_docs, sub_truth = make_subimage_docs(N_SUBIMG, seed=SEED)
     pq.write_table(sub_docs, path("subimage_docs"))
     pq.write_table(sub_truth, path("subimage_truth"))
+
+    bpe_corpus = make_bpe_corpus(240, seed=SEED)
+    pq.write_table(bpe_corpus, path("bpe_corpus"))
+    _write_bpe_goldens(bpe_corpus)
 
     files, truth = make_pdf_corpus(N_PDFS, seed=SEED)
     pdf_dir = os.path.join(FIXTURE_DIR, "pdfs")

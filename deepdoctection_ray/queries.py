@@ -2331,6 +2331,83 @@ FROM read_parquet('/tmp/ddray_fixtures/golden_audio_features.parquet')
 """
 
 
+def q_bpe_train(sf_dir: str) -> pa.Table:
+    """Distributed BPE tokenizer training under the gate: distributed word
+    counting (per-batch Counter partials → grouped sum → deterministic
+    frequency cap) feeds the incremental merge loop; the oracle is the NAIVE
+    recount-per-round trainer run single-threaded at fixture time — merge-list
+    equality pins both the distributed counting plumbing and the incremental
+    pair-update algorithm (two independent implementations)."""
+    from . import fixtures
+    from .stages.bpe import train_bpe
+
+    fixtures.ensure_fixtures()
+    corpus = ray.data.read_parquet(fixtures.path("bpe_corpus"))
+    merges = train_bpe(corpus, "text", num_merges=fixtures.N_BPE_MERGES)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(merges)), pa.int64()),
+            "lhs": pa.array([a for a, _ in merges], pa.string()),
+            "rhs": pa.array([b for _, b in merges], pa.string()),
+        }
+    )
+
+
+Q_BPE_TRAIN_SQL = """
+-- golden merge list from the naive recount-per-round reference trainer
+SELECT rank, lhs, rhs
+FROM read_parquet('/tmp/ddray_fixtures/golden_bpe_merges.parquet')
+"""
+
+
+def q_bpe_encode(sf_dir: str) -> ray.data.Dataset:
+    """BPE application under the gate: the BpeTokenizer actor-pool stage
+    (merge ranks built once per actor, per-actor word cache) tokenizes the
+    fixture corpus with the golden merge list; oracle = single-threaded
+    greedy encode of the same docs (token count + md5 fingerprint of the
+    token stream)."""
+    import hashlib
+
+    import pyarrow.parquet as _pq
+
+    from . import fixtures
+    from .stages.bpe import BpeTokenizer
+
+    fixtures.ensure_fixtures()
+    g = _pq.read_table(fixtures.path("golden_bpe_merges"))
+    merges = list(zip(g["lhs"].to_pylist(), g["rhs"].to_pylist()))
+    corpus = ray.data.read_parquet(fixtures.path("bpe_corpus"))
+    toked = corpus.map_batches(
+        BpeTokenizer,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        batch_size=64,
+        fn_constructor_kwargs=dict(merges=merges, text_column="text"),
+    )
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        toks = batch["bpe_tokens"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array([len(t) for t in toks], pa.int64()),
+                "tokens_fp": pa.array(
+                    [hashlib.md5(" ".join(t).encode()).hexdigest() for t in toks],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return toked.map_batches(flatten, batch_format="pyarrow")
+
+
+Q_BPE_ENCODE_SQL = """
+-- golden single-threaded greedy encode of the same corpus
+SELECT doc_id, n_tokens, tokens_fp
+FROM read_parquet('/tmp/ddray_fixtures/golden_bpe_tokens.parquet')
+"""
+
+
 def q_layoutlm_features(sf_dir: str) -> ray.data.Dataset:
     """LayoutLM feature mapping over the PDF fixture pages: word-piece
     tokenize, align boxes, build sliding windows (max_length=32, stride=8 so
@@ -2637,6 +2714,8 @@ def build_queries() -> dict:
         "q_detect_from_pixels": q_detect_from_pixels,
         "q_decode_images": q_decode_images,
         "q_audio_features": q_audio_features,
+        "q_bpe_train": q_bpe_train,
+        "q_bpe_encode": q_bpe_encode,
         # --- flagship pipelines ---
         "q_extract_transcripts": q_extract_transcripts,
         "q_extract_layout": q_extract_layout,
@@ -2669,9 +2748,9 @@ def build_queries() -> dict:
         "q_doc_stats_by_source": q_doc_stats_by_source,
         "q_extract_documents": q_extract_documents,
         "q_events_sessionize": q_events_sessionize,
+        # --- near-duplicate variants (green driver rows on record in r03) ---
         "q_events_asof": q_events_asof,
         "q_events_range_join": q_events_range_join,
-        # --- near-duplicate variants (green driver rows on record in r03) ---
         "q_doc_tokens": q_doc_tokens,
         "q_doc_quality": q_doc_quality,
         "q_customer_order_counts": q_customer_order_counts,
@@ -2756,6 +2835,8 @@ def build_oracle_sql() -> dict:
         "q_render_pdf": Q_RENDER_PDF_SQL,
         "q_detect_from_pixels": Q_DETECT_FROM_PIXELS_SQL,
         "q_decode_images": Q_DECODE_IMAGES_SQL,
+        "q_bpe_train": Q_BPE_TRAIN_SQL,
+        "q_bpe_encode": Q_BPE_ENCODE_SQL,
         "q_audio_features": Q_AUDIO_FEATURES_SQL,
         "q_layoutlm_features": Q_LAYOUTLM_SQL,
         "q_deskew": Q_DESKEW_SQL,

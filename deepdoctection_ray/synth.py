@@ -666,6 +666,47 @@ def make_boilerplate_docs(n_docs: int = 40, repeats: int = 8) -> pa.Table:
     )
 
 
+def make_bpe_corpus(n_docs: int = 240, seed: int = 42) -> pa.Table:
+    """Morphology-rich corpus for BPE tokenizer training: a synthetic
+    language of root×suffix words sampled Zipf-style, with punctuation and
+    capitalization variation, so character-level merges are meaningful
+    (shared roots/suffixes become subword units). Seeded RandomState —
+    byte-identical every run."""
+    rng = np.random.RandomState(seed)
+    roots = [
+        "stream", "merg", "sort", "filt", "batch", "tabl", "quer", "wind",
+        "custom", "lin", "shuffl", "part", "aggregat", "join", "extract",
+        "token", "cluster", "dedup",
+    ]
+    suffixes = ["", "e", "er", "ers", "ing", "ed", "s", "ation", "y", "ite"]
+    vocab = [r + s for r in roots for s in suffixes]
+    # Zipf ranks over a fixed shuffle of the vocab
+    order = rng.permutation(len(vocab))
+    probs = 1.0 / (np.arange(len(vocab)) + 1.0)
+    probs /= probs.sum()
+    puncts = [".", ",", "!", "?", ";"]
+    ids, texts = [], []
+    for i in range(n_docs):
+        n_words = int(rng.randint(30, 90))
+        picks = rng.choice(len(vocab), size=n_words, p=probs)
+        words = []
+        for j, p in enumerate(picks):
+            w = vocab[order[p]]
+            if rng.rand() < 0.08:
+                w = w.capitalize()
+            words.append(w)
+            if rng.rand() < 0.12:
+                words.append(puncts[int(rng.randint(len(puncts)))])
+        ids.append(3_000_000 + i)
+        texts.append(" ".join(words))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
 def make_media_image_corpus(n_docs: int = 60, seed: int = 42) -> tuple[pa.Table, pa.Table]:
     """Deterministic encoded-image fixture + golden decode stats.
 
