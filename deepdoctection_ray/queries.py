@@ -1763,6 +1763,73 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_dedup_semantic(sf_dir: str) -> pa.Table:
+    """SemDeDup (k-means clusters → within-cluster exact cosine) under the
+    gate, recall-bound style like q_knn_ivf: the distributed operator runs
+    over sf embeddings ∪ the seeded near-dup fixture; the report counts how
+    many of the PROBE SET's true pairs (brute force over the 40 fixture
+    vectors — probe-sized, not corpus-sized) the cluster-scoped pass
+    recovered, floored at ceil(0.8 · true). Precision is 1.0 by construction
+    (every emitted cosine is exactly verified — pinned in pytest)."""
+    from . import fixtures
+
+    fixtures.ensure_fixtures()
+    emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"]).union(
+        ray.data.read_parquet(fixtures.path("neardup_vecs"), columns=["vec_id", "embedding"])
+    )
+    pairs = sim.semantic_pairs(
+        emb, "embedding", "vec_id", threshold=0.9, n_centroids=8
+    )
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in pairs.filter(
+            lambda row: row["id_a"] >= 1_000_000 and row["id_b"] >= 1_000_000
+        ).take_all()
+    }
+    # true probe pairs: brute force over the 40-vector fixture (probe-sized)
+    import pyarrow.parquet as _pq
+
+    probe = _pq.read_table(fixtures.path("neardup_vecs"))
+    ids = np.asarray(probe["vec_id"].to_pylist())
+    vecs = np.asarray(probe["embedding"].to_pylist(), dtype=np.float64)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = unit @ unit.T
+    true_pairs = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if cos[i, j] >= 0.9
+    }
+    n_true = len(true_pairs)
+    recovered = len(found & true_pairs)
+    floor = int(np.ceil(0.8 * n_true))
+    return pa.table(
+        {
+            "n_probe_pairs": pa.array([n_true], pa.int64()),
+            "n_recovered_at_least": pa.array([min(recovered, floor)], pa.int64()),
+        }
+    )
+
+
+Q_DEDUP_SEMANTIC_SQL = """
+-- containment oracle for the cluster-scoped approximate path: the engine
+-- reports probe-set pairs recovered, floored at ceil(0.8 * true); meeting
+-- the bound means the row equals this brute-force constant
+WITH probe AS (
+  SELECT vec_id, embedding
+  FROM read_parquet('/tmp/ddray_fixtures/neardup_vecs.parquet')
+),
+tp AS (
+  SELECT count(*) AS n
+  FROM probe a JOIN probe b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.9
+)
+SELECT n::BIGINT AS n_probe_pairs, ceil(0.8 * n)::BIGINT AS n_recovered_at_least
+FROM tp
+"""
+
+
 def q_knn_cosine(sf_dir: str) -> ray.data.Dataset:
     emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return sim.knn_brute(emb, query_ids=[0, 1, 2], k=10)
@@ -2408,6 +2475,69 @@ FROM read_parquet('/tmp/ddray_fixtures/golden_bpe_tokens.parquet')
 """
 
 
+def q_ngram_lid(sf_dir: str) -> ray.data.Dataset:
+    """TRAINED statistical language ID (Cavnar–Trenkle 1994) under the gate:
+    char-1/2/3-gram rank profiles trained DISTRIBUTED over the labeled
+    documents table (vectorized int64 gram packing, per-batch partials,
+    per-language top-K prune), then the out-of-place-distance classifier as
+    an actor-pool stage. Pure integer counting + rank arithmetic, so DuckDB
+    rebuilds training AND inference bit-exactly — a hash-checked trained
+    model, not a heuristic."""
+    from .stages.lid import NgramLanguageClassifier, train_ngram_lid
+
+    labeled = _t(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    profiles = train_ngram_lid(labeled, "text", "lang", top_k=200)
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        NgramLanguageClassifier,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs=dict(profiles=profiles, top_k=200),
+    )
+
+
+Q_NGRAM_LID_SQL = """
+-- Cavnar-Trenkle rebuilt in SQL: same grams, same total order
+-- (count desc, gram length asc, gram asc), same out-of-place distance
+-- with missing-gram penalty K=200, same argmin tie-break (dist, lang)
+WITH nums AS (SELECT unnest([1, 2, 3]) AS n),
+pos AS (
+  SELECT d.doc_id, d.lang, d.text, nums.n,
+         unnest(generate_series(1, length(d.text) - nums.n + 1)) AS i
+  FROM documents d, nums
+  WHERE length(d.text) >= nums.n
+),
+g AS (
+  SELECT doc_id, lang, substring(text, i::INT, n::INT) AS gram FROM pos
+),
+lc AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2),
+lp AS (
+  SELECT lang, gram,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, length(gram), gram) - 1 AS r
+  FROM lc
+  QUALIFY r < 200
+),
+dc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+dp AS (
+  SELECT doc_id, gram,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, length(gram), gram) - 1 AS r
+  FROM dc
+  QUALIFY r < 200
+),
+langs AS (SELECT DISTINCT lang FROM documents),
+dist AS (
+  SELECT dp.doc_id, langs.lang,
+         sum(CASE WHEN lp.r IS NULL THEN 200 ELSE abs(dp.r - lp.r) END)::BIGINT AS dist
+  FROM dp CROSS JOIN langs
+  LEFT JOIN lp ON lp.lang = langs.lang AND lp.gram = dp.gram
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang AS pred_lang, dist
+FROM dist
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) = 1
+"""
+
+
 def q_layoutlm_features(sf_dir: str) -> ray.data.Dataset:
     """LayoutLM feature mapping over the PDF fixture pages: word-piece
     tokenize, align boxes, build sliding windows (max_length=32, stride=8 so
@@ -2716,6 +2846,7 @@ def build_queries() -> dict:
         "q_audio_features": q_audio_features,
         "q_bpe_train": q_bpe_train,
         "q_bpe_encode": q_bpe_encode,
+        "q_ngram_lid": q_ngram_lid,
         # --- flagship pipelines ---
         "q_extract_transcripts": q_extract_transcripts,
         "q_extract_layout": q_extract_layout,
@@ -2731,6 +2862,7 @@ def build_queries() -> dict:
         "q_dedup_jaccard": q_dedup_jaccard,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embedding": q_dedup_embedding,
+        "q_dedup_semantic": q_dedup_semantic,
         "q_knn_cosine": q_knn_cosine,
         "q_lm_xent": q_lm_xent,
         "q_bm25_search": q_bm25_search,
@@ -2745,10 +2877,10 @@ def build_queries() -> dict:
         "q_approx_distinct_users": q_approx_distinct_users,
         "q_lang_id": q_lang_id,
         "q_doc_fingerprint": q_doc_fingerprint,
-        "q_doc_stats_by_source": q_doc_stats_by_source,
         "q_extract_documents": q_extract_documents,
-        "q_events_sessionize": q_events_sessionize,
         # --- near-duplicate variants (green driver rows on record in r03) ---
+        "q_doc_stats_by_source": q_doc_stats_by_source,
+        "q_events_sessionize": q_events_sessionize,
         "q_events_asof": q_events_asof,
         "q_events_range_join": q_events_range_join,
         "q_doc_tokens": q_doc_tokens,
@@ -2837,6 +2969,8 @@ def build_oracle_sql() -> dict:
         "q_decode_images": Q_DECODE_IMAGES_SQL,
         "q_bpe_train": Q_BPE_TRAIN_SQL,
         "q_bpe_encode": Q_BPE_ENCODE_SQL,
+        "q_ngram_lid": Q_NGRAM_LID_SQL,
+        "q_dedup_semantic": Q_DEDUP_SEMANTIC_SQL,
         "q_audio_features": Q_AUDIO_FEATURES_SQL,
         "q_layoutlm_features": Q_LAYOUTLM_SQL,
         "q_deskew": Q_DESKEW_SQL,

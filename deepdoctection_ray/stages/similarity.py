@@ -392,3 +392,112 @@ def dequantize_embeddings(
         )
 
     return ds.map_batches(dq, batch_format="pyarrow")
+
+
+def semantic_pairs(
+    ds: ray.data.Dataset,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    seed: int = 13,
+    lloyd_iters: int = 2,
+    max_cluster: int = 4096,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """SemDeDup candidate generation (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication" —
+    public literature): deterministic k-means clusters the embedding space,
+    then pairwise cosine runs ONLY within each cluster — the published
+    web-scale recipe for turning the O(n²) all-pairs problem into
+    sum-over-clusters O(Σ|c|²).
+
+    Returns exact-verified ``(id_a, id_b, cosine)`` pairs with id_a < id_b
+    (precision 1.0 by construction — every emitted cosine is computed, not
+    approximated; recall is bounded by cluster assignment, the method's
+    documented trade-off). Clusters larger than ``max_cluster`` truncate
+    deterministically (smallest ids kept) and are counted via the shared
+    truncation reporter. One shuffle, keyed by cluster id."""
+    from .dedup import _grouped_collisions, _dedup_pair_rows, _report_truncation
+
+    cent = train_ivf_centroids(
+        ds, n_centroids, embedding_column, seed=seed, lloyd_iters=lloyd_iters
+    )
+    cent_t = cent.T.copy()
+
+    def assign(batch: pa.Table) -> pa.Table:
+        emb = _unit(embedding_matrix(batch[embedding_column]))
+        cl = np.argmax(emb @ cent_t, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(cl, pa.int64()),
+                "band": pa.array(np.zeros(len(cl), np.int32), pa.int32()),
+                id_column: batch[id_column],
+                embedding_column: batch[embedding_column],
+            }
+        )
+
+    def emit_cluster(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        sizes = g.groupby("cluster")[id_column].transform("size")
+        coll = g[sizes > 1]
+        a_o, b_o, c_o = [], [], []
+        trunc_clusters = trunc_rows = 0
+        for _, sub in coll.groupby("cluster", sort=False):
+            if len(sub) > max_cluster:
+                trunc_clusters += 1
+                trunc_rows += len(sub) - max_cluster
+                sub = sub.sort_values(id_column, kind="stable").head(max_cluster)
+            ids = sub[id_column].to_numpy()
+            emb = np.asarray(sub[embedding_column].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(emb, axis=1)
+            norms[norms == 0] = 1.0
+            unit = emb / norms[:, None]
+            cos = unit @ unit.T
+            order = np.argsort(ids, kind="stable")
+            for oi in range(len(order)):
+                for oj in range(oi + 1, len(order)):
+                    i, j = order[oi], order[oj]
+                    if ids[i] == ids[j]:
+                        continue
+                    c = float(cos[i, j])
+                    if c >= threshold:
+                        a_o.append(ids[i])
+                        b_o.append(ids[j])
+                        c_o.append(round(c, 6))
+        if trunc_clusters:
+            _report_truncation("semantic", trunc_clusters, trunc_rows)
+        dtype = g[id_column].dtype
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(a_o, dtype=dtype),
+                "id_b": pd.Series(b_o, dtype=dtype),
+                "cosine": pd.Series(c_o, dtype=np.float64),
+            }
+        ).drop_duplicates(["id_a", "id_b"])
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return _dedup_pair_rows(
+        _grouped_collisions(assigned, ["band", "cluster"], emit_cluster, num_buckets)
+    )
+
+
+def dedup_semantic(
+    ds: ray.data.Dataset,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    threshold: float = 0.95,
+    **kwargs,
+) -> ray.data.Dataset:
+    """SemDeDup end-to-end: semantic pairs → connected components → one
+    ``(doc_id, cluster_id)`` row per vector involved in a duplicate group
+    (``doc_id == cluster_id`` marks the canonical keeper, min id — rows a
+    training pipeline keeps; vectors that pair with nothing never enter the
+    graph, so the output is pair-graph-sized, not corpus-sized)."""
+    from .graph import connected_components
+
+    pairs = semantic_pairs(
+        ds, embedding_column, id_column, threshold=threshold, **kwargs
+    )
+    return connected_components(pairs, "id_a", "id_b")

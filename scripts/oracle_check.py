@@ -57,6 +57,10 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     mod = importlib.import_module("__ray_entry__")
     qs, oracles = mod.queries(), mod.oracle_sql()
+    only = os.environ.get("ONLY")
+    if only:
+        keep = set(only.split(","))
+        qs = {k: v for k, v in qs.items() if k in keep}
     failures = 0
     for name, fn in qs.items():
         t0 = time.time()

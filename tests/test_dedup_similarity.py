@@ -295,3 +295,66 @@ def test_quantize_roundtrip_and_recall(ray_session, clustered_embeddings):
         e = set(exact[exact["query_id"] == qid]["vec_id"])
         g = set(quant[quant["query_id"] == qid]["vec_id"])
         assert len(e & g) >= 4  # ≥80% recall on clustered data
+
+
+def test_semantic_pairs_precision_and_recall(ray_session, clustered_embeddings):
+    """SemDeDup: every emitted pair is truly >= threshold (precision 1.0 by
+    construction); on well-separated clusters every true pair is recovered
+    (cluster assignment cannot split a tight cluster)."""
+    from deepdoctection_ray.stages.similarity import semantic_pairs
+
+    got = semantic_pairs(
+        clustered_embeddings, "embedding", "vec_id", threshold=0.995, n_centroids=5
+    ).to_pandas()
+    rows = clustered_embeddings.take_all()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = unit @ unit.T
+    true = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if cos[i, j] >= 0.995
+    }
+    found = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    assert found <= true          # precision 1.0
+    assert len(true) > 10         # non-vacuous
+    assert found == true          # tight clusters: full recall
+    # emitted cosines are the exact values
+    lookup = {(int(a), int(b)): c for a, b, c in zip(got["id_a"], got["id_b"], got["cosine"])}
+    for (a, b), c in lookup.items():
+        ia, ib = int(np.where(ids == a)[0][0]), int(np.where(ids == b)[0][0])
+        assert abs(c - cos[ia, ib]) < 1e-6
+
+
+def test_dedup_semantic_clusters_keep_min_id(ray_session, clustered_embeddings):
+    from deepdoctection_ray.stages.similarity import dedup_semantic
+
+    out = dedup_semantic(
+        clustered_embeddings, "embedding", "vec_id", threshold=0.995, n_centroids=5
+    ).to_pandas()
+    assert len(out) > 0
+    # canonical representative is the component-min id
+    by_cluster = out.groupby("cluster_id")["doc_id"].min()
+    assert (by_cluster.index == by_cluster.values).all()
+
+
+def test_semantic_truncation_reported(ray_session, clustered_embeddings):
+    from deepdoctection_ray.stages.dedup import (
+        reset_truncation_counts,
+        truncation_counts,
+    )
+    from deepdoctection_ray.stages.similarity import semantic_pairs
+
+    reset_truncation_counts()
+    semantic_pairs(
+        clustered_embeddings,
+        "embedding",
+        "vec_id",
+        threshold=0.995,
+        n_centroids=5,
+        max_cluster=10,
+    ).materialize()
+    counts = truncation_counts()
+    assert counts.get("semantic", {}).get("buckets", 0) > 0
