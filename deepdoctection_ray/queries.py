@@ -2538,6 +2538,69 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) = 1
 """
 
 
+def q_nb_classify(sf_dir: str) -> ray.data.Dataset:
+    """TRAINED multinomial Naive Bayes document classifier (fastText-style
+    hashed bag-of-words, the linear quality/domain classifier LLM curation
+    pipelines train — CCNet/LLaMA shape) under the gate: one distributed
+    counting pass trains a fixed-size L×(B+1) model, then an actor-pool
+    stage scores every document. Counting is integer and scoring is a
+    log-space sum grouped exactly like the SQL oracle's, so DuckDB rebuilds
+    training AND inference (scores match to ~1e-12, rounded at 6)."""
+    from .stages.nbayes import NaiveBayesClassifier, train_naive_bayes
+
+    labeled = _t(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    model = train_naive_bayes(labeled, "text", "lang", num_buckets=4096)
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        NaiveBayesClassifier,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs=dict(model=model, num_buckets=4096),
+    )
+
+
+Q_NB_CLASSIFY_SQL = """
+-- multinomial NB rebuilt in SQL: same single-space tokenization, same
+-- md5-prefix feature hashing (B=4096), same add-one smoothing
+-- score = ln(docs_c/total) + sum ln(cnt+1) - n_tok * ln(tok_total_c + B),
+-- same argmax tie-break (score desc, lang asc); zero-token docs dropped
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4096 AS bucket
+  FROM toks
+),
+train AS (
+  SELECT t.doc_id, d.lang, t.bucket FROM b t JOIN documents d USING (doc_id)
+),
+cls AS (SELECT lang, count(*) AS docs FROM documents GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM documents),
+cnt AS (SELECT lang, bucket, count(*) AS c FROM train GROUP BY 1, 2),
+tt AS (SELECT lang, count(*) AS n FROM train GROUP BY 1),
+langs AS (SELECT DISTINCT lang FROM documents),
+scored AS (
+  SELECT d.doc_id, l.lang,
+         ln(cls.docs::DOUBLE / tot.n)
+         + sum(ln(coalesce(cnt.c, 0) + 1.0))
+         - count(*) * ln(tt.n + 4096.0) AS score
+  FROM b d
+  CROSS JOIN langs l
+  LEFT JOIN cnt ON cnt.lang = l.lang AND cnt.bucket = d.bucket
+  JOIN cls ON cls.lang = l.lang
+  JOIN tt ON tt.lang = l.lang
+  CROSS JOIN tot
+  GROUP BY d.doc_id, l.lang, cls.docs, tot.n, tt.n
+)
+SELECT doc_id, lang AS pred, round(score, 6) AS score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1
+"""
+
+
 def q_layoutlm_features(sf_dir: str) -> ray.data.Dataset:
     """LayoutLM feature mapping over the PDF fixture pages: word-piece
     tokenize, align boxes, build sliding windows (max_length=32, stride=8 so
@@ -2847,6 +2910,7 @@ def build_queries() -> dict:
         "q_bpe_train": q_bpe_train,
         "q_bpe_encode": q_bpe_encode,
         "q_ngram_lid": q_ngram_lid,
+        "q_nb_classify": q_nb_classify,
         # --- flagship pipelines ---
         "q_extract_transcripts": q_extract_transcripts,
         "q_extract_layout": q_extract_layout,
@@ -2970,6 +3034,7 @@ def build_oracle_sql() -> dict:
         "q_bpe_train": Q_BPE_TRAIN_SQL,
         "q_bpe_encode": Q_BPE_ENCODE_SQL,
         "q_ngram_lid": Q_NGRAM_LID_SQL,
+        "q_nb_classify": Q_NB_CLASSIFY_SQL,
         "q_dedup_semantic": Q_DEDUP_SEMANTIC_SQL,
         "q_audio_features": Q_AUDIO_FEATURES_SQL,
         "q_layoutlm_features": Q_LAYOUTLM_SQL,

@@ -7,6 +7,11 @@ for deterministic rule classifiers — no model weights exist in this
 environment, but the stage shape (actor pool, tokenizer state in ``__init__``,
 word-aligned outputs) is the real contract; drop a model into the actor to
 upgrade.
+
+For a genuinely TRAINED sequence classifier with the same actor-pool
+contract, see ``stages/nbayes.py`` (distributed-trained multinomial Naive
+Bayes over hashed features, SQL-oracled end to end) — the statistical
+stand-in for the fine-tuned HF sequence model.
 """
 
 from __future__ import annotations
