@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 FIXTURE_DIR = "/tmp/ddray_fixtures"
-_VERSION = 14
+_VERSION = 15
 
 TRANSCRIPTS_DIR = "/tmp/ddray_transcripts_small"
 N_CONVS, SEED, HOT = 60, 42, 10
@@ -166,6 +166,7 @@ def ensure_fixtures() -> str:
         make_pubtables_docs,
         make_subimage_docs,
         make_table_docs,
+        make_token_seq_corpus,
         make_transcripts,
         write_transcripts,
     )
@@ -202,6 +203,7 @@ def ensure_fixtures() -> str:
     pq.write_table(make_pubtables_docs(N_PUBTABLES, seed=SEED), path("pubtables_docs"))
     pq.write_table(make_neardup_vecs(), path("neardup_vecs"))
     pq.write_table(make_boilerplate_docs(), path("boilerplate_docs"))
+    pq.write_table(make_token_seq_corpus(200, seed=SEED), path("token_seqs"))
     media_img, golden_img = make_media_image_corpus(60, seed=SEED)
     pq.write_table(media_img, path("media_images"))
     pq.write_table(golden_img, path("golden_image_stats"))

@@ -2601,6 +2601,84 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1
 """
 
 
+def q_token_nb(sf_dir: str) -> ray.data.Dataset:
+    """TRAINED contextual token classifier (the LMTokenClassifierService
+    analog with a real trained model, not a rule): per-token Naive Bayes
+    over hashed cur/prev/next feature templates, trained distributed on the
+    labeled token_seqs fixture and applied as an actor-pool stage. One
+    (doc_id, pos, pred, score) row per token position; training AND
+    inference rebuild in SQL."""
+    from . import fixtures
+    from .stages.nbayes import TokenNBClassifier, train_token_nb
+
+    fixtures.ensure_fixtures()
+    seqs = ray.data.read_parquet(fixtures.path("token_seqs"))
+    model = train_token_nb(seqs, "text", "labels", num_buckets=4096)
+    return seqs.drop_columns(["labels"]).map_batches(
+        TokenNBClassifier,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs=dict(model=model, num_buckets=4096),
+    )
+
+
+Q_TOKEN_NB_SQL = """
+-- contextual token NB rebuilt in SQL: same 1-based positions, same
+-- template-prefixed features (0:cur / 1:prev / 2:next with ^/$ sentinels),
+-- same md5-prefix hashing (B=4096), same add-one smoothing and per-token
+-- prior, same argmax tie-break (score desc, label asc)
+WITH src AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, string_split(labels, ' ') AS labs
+  FROM read_parquet('/tmp/ddray_fixtures/token_seqs.parquet')
+),
+pos AS (
+  SELECT doc_id, toks, labs, unnest(generate_series(1, len(toks))) AS i
+  FROM src
+),
+tok AS (
+  SELECT doc_id, i,
+         toks[i::INT] AS cur,
+         coalesce(toks[(i - 1)::INT], '^') AS prv,
+         coalesce(toks[(i + 1)::INT], '$') AS nxt,
+         labs[i::INT] AS label
+  FROM pos
+),
+feat AS (
+  SELECT doc_id, i, label, '0:' || cur AS f FROM tok
+  UNION ALL
+  SELECT doc_id, i, label, '1:' || prv FROM tok
+  UNION ALL
+  SELECT doc_id, i, label, '2:' || nxt FROM tok
+),
+fb AS (
+  SELECT doc_id, i, label,
+         ('0x' || substr(md5(f), 1, 8))::UBIGINT % 4096 AS bucket
+  FROM feat
+),
+cls AS (SELECT label, count(*) AS n FROM tok GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM tok),
+cnt AS (SELECT label, bucket, count(*) AS c FROM fb GROUP BY 1, 2),
+ft AS (SELECT label, count(*) AS n FROM fb GROUP BY 1),
+cl AS (SELECT DISTINCT label FROM tok),
+scored AS (
+  SELECT q.doc_id, q.i, cl.label,
+         ln(cls.n::DOUBLE / tot.n)
+         + sum(ln(coalesce(cnt.c, 0) + 1.0))
+         - 3 * ln(ft.n + 4096.0) AS score
+  FROM fb q
+  CROSS JOIN cl
+  LEFT JOIN cnt ON cnt.label = cl.label AND cnt.bucket = q.bucket
+  JOIN cls ON cls.label = cl.label
+  JOIN ft ON ft.label = cl.label
+  CROSS JOIN tot
+  GROUP BY q.doc_id, q.i, cl.label, cls.n, tot.n, ft.n
+)
+SELECT doc_id, i::BIGINT AS pos, label AS pred, round(score, 6) AS score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id, i ORDER BY score DESC, label) = 1
+"""
+
+
 def q_layoutlm_features(sf_dir: str) -> ray.data.Dataset:
     """LayoutLM feature mapping over the PDF fixture pages: word-piece
     tokenize, align boxes, build sliding windows (max_length=32, stride=8 so
@@ -2911,6 +2989,7 @@ def build_queries() -> dict:
         "q_bpe_encode": q_bpe_encode,
         "q_ngram_lid": q_ngram_lid,
         "q_nb_classify": q_nb_classify,
+        "q_token_nb": q_token_nb,
         # --- flagship pipelines ---
         "q_extract_transcripts": q_extract_transcripts,
         "q_extract_layout": q_extract_layout,
@@ -3035,6 +3114,7 @@ def build_oracle_sql() -> dict:
         "q_bpe_encode": Q_BPE_ENCODE_SQL,
         "q_ngram_lid": Q_NGRAM_LID_SQL,
         "q_nb_classify": Q_NB_CLASSIFY_SQL,
+        "q_token_nb": Q_TOKEN_NB_SQL,
         "q_dedup_semantic": Q_DEDUP_SEMANTIC_SQL,
         "q_audio_features": Q_AUDIO_FEATURES_SQL,
         "q_layoutlm_features": Q_LAYOUTLM_SQL,

@@ -41,7 +41,13 @@ import pyarrow as pa
 
 import ray.data
 
-__all__ = ["train_naive_bayes", "NaiveBayesClassifier", "token_buckets"]
+__all__ = [
+    "train_naive_bayes",
+    "NaiveBayesClassifier",
+    "token_buckets",
+    "train_token_nb",
+    "TokenNBClassifier",
+]
 
 
 def _tokens(text: str) -> list[str]:
@@ -210,6 +216,194 @@ class NaiveBayesClassifier:
                 ),
                 "score": pa.array(
                     np.round(scores[kidx, best[kidx]], 6), pa.float64()
+                ),
+            }
+        )
+
+
+# --------------------------------------------------------------------------
+# Token-level classifier (LMTokenClassifierService analog, genuinely trained)
+# --------------------------------------------------------------------------
+
+_TEMPLATES = ("0:", "1:", "2:")  # cur / prev / next feature prefixes
+_BOS, _EOS = "^", "$"
+
+
+def _token_features(texts: list) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Explode a batch of space-joined token streams into per-position
+    context features.
+
+    Returns ``(features, row_idx, pos)``: for every token position, THREE
+    template-prefixed feature strings (``0:cur``, ``1:prev``, ``2:next``
+    with ``^``/``$`` sentinels at sequence edges), the batch row each
+    belongs to, and the 1-based position within its document (matching the
+    SQL oracle's list indexing)."""
+    feats, rows, poss = [], [], []
+    for i, t in enumerate(texts):
+        toks = [x for x in (t or "").split(" ") if x]
+        if not toks:
+            continue
+        n = len(toks)
+        cur = np.asarray(toks, dtype=object)
+        prev = np.concatenate([[_BOS], cur[:-1]])
+        nxt = np.concatenate([cur[1:], [_EOS]])
+        f = np.concatenate(
+            [
+                np.char.add("0:", cur.astype(str)).astype(object),
+                np.char.add("1:", prev.astype(str)).astype(object),
+                np.char.add("2:", nxt.astype(str)).astype(object),
+            ]
+        )
+        feats.append(f)
+        rows.append(np.full(3 * n, i, dtype=np.int64))
+        poss.append(np.tile(np.arange(1, n + 1, dtype=np.int64), 3))
+    if not feats:
+        e = np.empty(0, dtype=object)
+        z = np.empty(0, dtype=np.int64)
+        return e, z, z
+    return np.concatenate(feats), np.concatenate(rows), np.concatenate(poss)
+
+
+def train_token_nb(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    labels_column: str = "labels",
+    num_buckets: int = 4096,
+) -> pa.Table:
+    """Train the contextual token NB: one distributed counting pass over
+    ``(label, feature-bucket)`` pairs (every token contributes its 3 context
+    features), plus per-label token counts for the prior (``bucket == -1``
+    rows). Fixed ``L × (num_buckets + 1)`` output — broadcast-safe."""
+    from ..functions.aggregates import grouped_sums
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        labs = batch[labels_column].to_pylist()
+        feats, rows, poss = _token_features(texts)
+        # align labels with the exploded features: label of position p of row r
+        lab_lists = [
+            [x for x in (l or "").split(" ") if x] for l in labs
+        ]
+        if len(feats):
+            f_lab = np.asarray(
+                [lab_lists[r][p - 1] for r, p in zip(rows, poss)], dtype=object
+            )
+            buckets = token_buckets(feats, num_buckets)
+        else:
+            f_lab = np.empty(0, dtype=object)
+            buckets = np.empty(0, np.int64)
+        # priors: one count per TOKEN (not per feature) per label
+        tok_labs = np.concatenate([np.asarray(x, dtype=object) for x in lab_lists if x]) \
+            if any(lab_lists) else np.empty(0, dtype=object)
+        df = pd.DataFrame(
+            {
+                "label": np.concatenate([f_lab, tok_labs]),
+                "bucket": np.concatenate(
+                    [buckets, np.full(len(tok_labs), -1, dtype=np.int64)]
+                ),
+            }
+        )
+        agg = df.groupby(["label", "bucket"], sort=False).size().reset_index(name="c")
+        return pa.table(
+            {
+                "label": pa.array(agg["label"], pa.string()),
+                "bucket": pa.array(agg["bucket"], pa.int64()),
+                "c": pa.array(agg["c"], pa.int64()),
+            }
+        )
+
+    sums = grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "bucket"],
+        ["c"],
+        count_alias=None,
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"label": t["label"], "bucket": t["bucket"],
+             "c": pa.compute.cast(t["sum_c"], pa.int64())}
+        )
+
+    out = sums.map_batches(rename, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["label", "bucket"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+class TokenNBClassifier:
+    """Actor-pool stage: per-token contextual NB scoring.
+
+    ``score(pos, c) = ln(tokens_c / total_tokens)
+                      + Σ_{3 features} ln(count(bucket, c) + 1)
+                      − 3 · ln(feat_total_c + B)``
+
+    Output: one ``(id, pos, pred, score)`` row per token position (1-based
+    ``pos``, matching DuckDB list indexing in the oracle). Argmax ties break
+    label-ascending."""
+
+    def __init__(
+        self,
+        model: pa.Table,
+        text_column: str = "text",
+        id_column: str = "doc_id",
+        num_buckets: int = 4096,
+        pred_column: str = "pred",
+    ):
+        df = model.to_pandas() if isinstance(model, pa.Table) else model
+        self.labels = sorted(df["label"].unique())
+        lidx = {l: i for i, l in enumerate(self.labels)}
+        L = len(self.labels)
+        counts = np.zeros((num_buckets, L), dtype=np.float64)
+        toks = np.zeros(L, dtype=np.float64)
+        for label, bucket, c in zip(df["label"], df["bucket"], df["c"]):
+            if bucket < 0:
+                toks[lidx[label]] = c
+            else:
+                counts[int(bucket), lidx[label]] = c
+        self.prior = np.log(toks / toks.sum())
+        self.log1c = np.log(counts + 1.0)
+        self.log_denom = np.log(counts.sum(axis=0) + float(num_buckets))
+        self.num_buckets = num_buckets
+        self.text_column = text_column
+        self.id_column = id_column
+        self.pred_column = pred_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_column].to_pylist()
+        ids_np = batch[self.id_column].to_numpy(zero_copy_only=False)
+        feats, rows, poss = _token_features(texts)
+        if len(feats) == 0:
+            return pa.table(
+                {
+                    self.id_column: pa.array([], batch[self.id_column].type),
+                    "pos": pa.array([], pa.int64()),
+                    self.pred_column: pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        buckets = token_buckets(feats, self.num_buckets)
+        # one output slot per (row, pos): dense-index the token positions
+        key = rows * (1 + int(poss.max())) + poss
+        uniq_key, slot = np.unique(key, return_inverse=True)
+        n_slots = len(uniq_key)
+        L = len(self.labels)
+        sum_log = np.zeros((n_slots, L), dtype=np.float64)
+        np.add.at(sum_log, slot, self.log1c[buckets])
+        scores = self.prior[None, :] + sum_log - 3.0 * self.log_denom[None, :]
+        best = np.argmax(scores, axis=1)  # first max == label-asc tie-break
+        out_rows = (uniq_key // (1 + int(poss.max()))).astype(np.int64)
+        out_pos = (uniq_key % (1 + int(poss.max()))).astype(np.int64)
+        return pa.table(
+            {
+                self.id_column: pa.array(
+                    ids_np[out_rows], batch[self.id_column].type
+                ),
+                "pos": pa.array(out_pos, pa.int64()),
+                self.pred_column: pa.array(
+                    [self.labels[b] for b in best], pa.string()
+                ),
+                "score": pa.array(
+                    np.round(scores[np.arange(n_slots), best], 6), pa.float64()
                 ),
             }
         )

@@ -643,6 +643,55 @@ def make_deskew_docs(n_docs: int = 100, seed: int = 42) -> pa.Table:
     )
 
 
+def make_token_seq_corpus(n_docs: int = 200, seed: int = 42) -> pa.Table:
+    """Labeled token sequences for the TRAINED token classifier
+    (``stages/nbayes.train_token_nb`` — the ``LMTokenClassifierService``
+    analog with a real trained model). Each document is a space-joined token
+    stream with a parallel space-joined label stream (construction truth:
+    the class that generated each token). Class-conditional vocabularies
+    overlap enough ("may"/"march" are words AND month-ish; bare numbers
+    appear inside dates) that context features genuinely matter, matching
+    the word-plus-neighborhood feature set LayoutLM-style token classifiers
+    consume. Deterministic for the given seed."""
+    rng = np.random.RandomState(seed)
+    words = [
+        "invoice", "total", "amount", "due", "from", "sent", "contact",
+        "order", "may", "march", "paid", "on", "by", "reference", "see",
+    ]
+    classes = ["number", "date", "url", "email", "word"]
+
+    def gen(cls: str) -> str:
+        if cls == "number":
+            return str(int(rng.randint(1, 99999)))
+        if cls == "date":
+            return f"{2019 + int(rng.randint(6)):04d}-{1 + int(rng.randint(12)):02d}-{1 + int(rng.randint(28)):02d}"
+        if cls == "url":
+            return f"www.site{int(rng.randint(40))}.com/page{int(rng.randint(9))}"
+        if cls == "email":
+            return f"user{int(rng.randint(60))}@mail{int(rng.randint(12))}.org"
+        return words[int(rng.randint(len(words)))]
+
+    ids, texts, labels = [], [], []
+    for i in range(n_docs):
+        n_tok = 8 + int(rng.randint(18))
+        toks, labs = [], []
+        for _ in range(n_tok):
+            # words dominate, specials interleave — realistic class skew
+            cls = classes[int(rng.choice([0, 1, 2, 3, 4], p=[0.15, 0.12, 0.08, 0.08, 0.57]))]
+            toks.append(gen(cls))
+            labs.append(cls)
+        ids.append(3_000_000 + i)
+        texts.append(" ".join(toks))
+        labels.append(" ".join(labs))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "labels": pa.array(labels, pa.string()),
+        }
+    )
+
+
 def make_boilerplate_docs(n_docs: int = 40, repeats: int = 8) -> pa.Table:
     """Deterministic boilerplate corpus for the heavy-hitter oracle: the sf
     documents table is near-uniform (no word 3-gram exceeds N/1024), so a

@@ -141,3 +141,66 @@ def test_model_is_fixed_size(ray_session):
         ray.data.from_arrow(big), "text", "lang", num_buckets=32
     )
     assert len(model) <= 2 * (32 + 1)
+
+
+def test_token_features_explode():
+    from deepdoctection_ray.stages.nbayes import _token_features
+
+    feats, rows, poss = _token_features(["a b", "", "c"])
+    by_pos = {}
+    for f, r, p in zip(feats, rows, poss):
+        by_pos.setdefault((int(r), int(p)), set()).add(str(f))
+    assert by_pos[(0, 1)] == {"0:a", "1:^", "2:b"}
+    assert by_pos[(0, 2)] == {"0:b", "1:a", "2:$"}
+    assert by_pos[(2, 1)] == {"0:c", "1:^", "2:$"}
+    assert len(by_pos) == 3
+
+
+def test_token_nb_learns_context(ray_session):
+    """'bank' is class x after 'river' and class y after 'money' — a
+    cur-token-only model cannot split these; the context features do."""
+    rows = []
+    for i in range(30):
+        rows.append((i * 2, "river bank flows", "w x w"))
+        rows.append((i * 2 + 1, "money bank pays", "w y w"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "labels": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    from deepdoctection_ray.stages.nbayes import TokenNBClassifier, train_token_nb
+
+    ds = ray.data.from_arrow(t)
+    model = train_token_nb(ds, "text", "labels", num_buckets=256)
+    out = (
+        ds.drop_columns(["labels"])
+        .map_batches(
+            TokenNBClassifier,
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+            fn_constructor_kwargs=dict(model=model, num_buckets=256),
+        )
+        .to_pandas()
+    )
+    mid = out[out["pos"] == 2].sort_values("doc_id")
+    evens = mid[mid["doc_id"] % 2 == 0]
+    odds = mid[mid["doc_id"] % 2 == 1]
+    assert set(evens["pred"]) == {"x"}
+    assert set(odds["pred"]) == {"y"}
+    # every position classified, 1-based pos
+    assert len(out) == 60 * 3
+    assert out["pos"].min() == 1 and out["pos"].max() == 3
+
+
+def test_token_seq_fixture_deterministic():
+    from deepdoctection_ray.synth import make_token_seq_corpus
+
+    a = make_token_seq_corpus(50, seed=9)
+    b = make_token_seq_corpus(50, seed=9)
+    assert a.equals(b)
+    # labels stream is parallel to token stream
+    for text, labs in zip(a["text"].to_pylist(), a["labels"].to_pylist()):
+        assert len(text.split(" ")) == len(labs.split(" "))
+        assert set(labs.split(" ")) <= {"number", "date", "url", "email", "word"}
