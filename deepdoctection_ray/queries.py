@@ -1564,6 +1564,84 @@ def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
     return flag_contaminated(corpus, bench, "text", "doc_id", k=8)
 
 
+def q_bloom_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Bloom-filter decontamination (the memory-bounded scale path of
+    q_decontaminate: fixed 128 KiB filter however many benchmark grams,
+    no false negatives, bounded false positives). The md5-derived bit
+    positions are deterministic, so DuckDB rebuilds the ENTIRE filter and
+    the scan bit-exactly — n_maybe hash-matches, not just a containment
+    bound."""
+    from .stages.dedup import bloom_flag_contaminated
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _mod_filter(keep_bench: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            is_bench = pc.equal(
+                pc.subtract(
+                    batch["doc_id"],
+                    pc.multiply(
+                        pc.divide(batch["doc_id"], pa.scalar(20, pa.int64())),
+                        pa.scalar(20, pa.int64()),
+                    ),
+                ),
+                pa.scalar(0, pa.int64()),
+            )
+            return batch.filter(is_bench if keep_bench else pc.invert(is_bench))
+
+        return fn
+
+    bench = docs.map_batches(_mod_filter(True), batch_format="pyarrow")
+    corpus = docs.map_batches(_mod_filter(False), batch_format="pyarrow")
+    return bloom_flag_contaminated(
+        corpus, bench, "text", "doc_id", k=8, n_hashes=4, m_bits=1 << 20
+    )
+
+
+Q_BLOOM_DECONTAMINATE_SQL = r"""
+-- the Bloom filter rebuilt bit-exactly: position h of gram g is
+-- ('0x'||substr(md5(h||':'||g),1,12))::UBIGINT % 2^20; the benchmark's
+-- distinct positions ARE the set bits; a corpus gram "maybe hits" iff all
+-- 4 of its positions are set; n_maybe counts distinct maybe-hit grams
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(generate_series(1, len(t) - 7),
+                                  i -> array_to_string(t[i:i+7], ' '))
+         END AS grams
+  FROM toks
+),
+dsh AS (SELECT doc_id, list_distinct(grams) AS g FROM sh),
+hs AS (SELECT unnest(generate_series(0, 3))::VARCHAR AS h),
+benchbits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(hs.h || ':' || b.s), 1, 12))::UBIGINT % 1048576 AS pos
+  FROM (SELECT DISTINCT unnest(g) AS s FROM dsh WHERE doc_id % 20 = 0) b, hs
+),
+corpus AS (SELECT doc_id, g FROM dsh WHERE doc_id % 20 <> 0),
+gpos AS (
+  SELECT c.doc_id, c.s,
+         ('0x' || substr(md5(hs.h || ':' || c.s), 1, 12))::UBIGINT % 1048576 AS pos
+  FROM (SELECT doc_id, unnest(g) AS s FROM corpus) c, hs
+),
+ghit AS (
+  SELECT doc_id, s
+  FROM gpos LEFT JOIN benchbits b ON gpos.pos = b.pos
+  GROUP BY doc_id, s
+  HAVING count(b.pos) = 4
+),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_maybe FROM ghit GROUP BY 1)
+SELECT c.doc_id,
+       coalesce(a.n_maybe, 0)::BIGINT AS n_maybe,
+       coalesce(a.n_maybe, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id
+"""
+
+
 Q_DECONTAMINATE_SQL = r"""
 -- exact 8-gram leakage scan: n_shared = distinct grams a corpus doc shares
 -- with the doc_id%20==0 benchmark slice (engine counts hashed grams; equal
@@ -2601,6 +2679,41 @@ QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) = 1
 """
 
 
+def q_embed_cov(sf_dir: str) -> pa.Table:
+    """Distributed PCA moment pass under the gate: the full 64×64 population
+    covariance of the embeddings table, computed as per-batch ``(n, Σx,
+    XᵀX)`` partials + tree combine (stages/pca.py — one tiny row per block
+    crosses, never the corpus), emitted as the upper triangle. DuckDB
+    rebuilds it from an unnest self-join; the driver-side eigen step this
+    feeds is pinned in pytest."""
+    from .stages.pca import covariance_table
+
+    emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return covariance_table(emb, "embedding")
+
+
+Q_EMBED_COV_SQL = """
+-- population covariance rebuilt from an unnest self-join on vec_id:
+-- cov(i,j) = E[x_i x_j] - E[x_i] E[x_j], upper triangle, 1-based dims
+WITH x AS (
+  SELECT vec_id,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+),
+c AS (
+  SELECT a.i AS di, b.i AS dj,
+         count(*) AS n, sum(a.v * b.v) AS sxy, sum(a.v) AS sx, sum(b.v) AS sy
+  FROM x a JOIN x b USING (vec_id)
+  WHERE a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT di::BIGINT AS di, dj::BIGINT AS dj,
+       round(sxy / n - (sx / n) * (sy / n), 6) AS cov
+FROM c
+"""
+
+
 def q_token_nb(sf_dir: str) -> ray.data.Dataset:
     """TRAINED contextual token classifier (the LMTokenClassifierService
     analog with a real trained model, not a rule): per-token Naive Bayes
@@ -2990,6 +3103,8 @@ def build_queries() -> dict:
         "q_ngram_lid": q_ngram_lid,
         "q_nb_classify": q_nb_classify,
         "q_token_nb": q_token_nb,
+        "q_embed_cov": q_embed_cov,
+        "q_bloom_decontaminate": q_bloom_decontaminate,
         # --- flagship pipelines ---
         "q_extract_transcripts": q_extract_transcripts,
         "q_extract_layout": q_extract_layout,
@@ -3115,6 +3230,8 @@ def build_oracle_sql() -> dict:
         "q_ngram_lid": Q_NGRAM_LID_SQL,
         "q_nb_classify": Q_NB_CLASSIFY_SQL,
         "q_token_nb": Q_TOKEN_NB_SQL,
+        "q_embed_cov": Q_EMBED_COV_SQL,
+        "q_bloom_decontaminate": Q_BLOOM_DECONTAMINATE_SQL,
         "q_dedup_semantic": Q_DEDUP_SEMANTIC_SQL,
         "q_audio_features": Q_AUDIO_FEATURES_SQL,
         "q_layoutlm_features": Q_LAYOUTLM_SQL,

@@ -971,3 +971,124 @@ def dedup_segments(
         ds.map_batches(explode_text, batch_format="pyarrow"), keys, "row_key", how="semi"
     )
     return rejoined.select_columns([id_column, "seg_idx", "seg"])
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination — the memory-bounded scale path
+# --------------------------------------------------------------------------
+
+_BLOOM_HEX = 12  # md5 prefix nibbles -> 48-bit position space before % m
+
+
+def _bloom_positions(grams, n_hashes: int, m_bits: int) -> "np.ndarray":
+    """(len(grams), n_hashes) bit positions; position h of gram g is
+    ``md5(f"{h}:{g}")`` — SQL: ``('0x' || substr(md5(h || ':' || g), 1,
+    12))::UBIGINT % m``. md5 runs per DISTINCT (h, gram) only because the
+    caller passes uniques."""
+    import hashlib
+
+    out = np.empty((len(grams), n_hashes), dtype=np.int64)
+    for gi, g in enumerate(grams):
+        for h in range(n_hashes):
+            out[gi, h] = (
+                int(
+                    hashlib.md5(f"{h}:{g}".encode("utf-8")).hexdigest()[:_BLOOM_HEX],
+                    16,
+                )
+                % m_bits
+            )
+    return out
+
+
+class BloomContaminationFlagger:
+    """Actor: Bloom-filter membership scan. The filter (a bool bitset of
+    ``m_bits``) broadcasts once via ``ray.put`` and is fetched once per
+    ACTOR; each batch explodes grams with the vectorized Arrow kernel,
+    hashes per distinct gram, and a gram counts as a (possible) hit only if
+    ALL ``n_hashes`` of its bits are set — no false negatives ever."""
+
+    def __init__(self, bits_ref, text_column: str, id_column: str, k: int,
+                 n_hashes: int, m_bits: int) -> None:
+        import ray
+
+        self._bits = ray.get(bits_ref)
+        self._text = text_column
+        self._id = id_column
+        self._k = k
+        self._nh = n_hashes
+        self._m = m_bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.grams import explode_ngrams
+
+        row_idx, grams = explode_ngrams(batch[self._text], self._k)
+        import pandas as pd
+
+        n = len(batch)
+        n_maybe = np.zeros(n, dtype=np.int64)
+        if len(grams):
+            df = pd.DataFrame({"r": row_idx, "g": grams.to_pylist()})
+            df = df.drop_duplicates()  # distinct grams PER DOC
+            uniq, inv = np.unique(df["g"].to_numpy(object), return_inverse=True)
+            pos = _bloom_positions(uniq, self._nh, self._m)
+            hit_u = self._bits[pos].all(axis=1)
+            np.add.at(n_maybe, df["r"].to_numpy(np.int64), hit_u[inv].astype(np.int64))
+        arr = pa.array(n_maybe, pa.int64())
+        return pa.table(
+            {
+                self._id: batch[self._id],
+                "n_maybe": arr,
+                "contaminated": pc.greater(arr, pa.scalar(0, pa.int64())),
+            }
+        )
+
+
+def bloom_flag_contaminated(
+    corpus: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k: int = 8,
+    n_hashes: int = 4,
+    m_bits: int = 1 << 20,
+) -> ray.data.Dataset:
+    """Decontamination via a Bloom filter — the scale path of
+    :func:`flag_contaminated` (Bloom 1970; the standard memory-bounded
+    membership structure LLM pipelines use when the benchmark gram set
+    outgrows an exact broadcast array).
+
+    The filter is a FIXED ``m_bits / 8`` bytes however many benchmark grams
+    exist (vs the exact path's 8 bytes per gram), at the price of a bounded
+    false-POSITIVE rate ``≈ (1 - e^{-kn/m})^k``; false negatives are
+    impossible, so every truly contaminated doc is flagged — the guarantee
+    the oracle checks. Build: one benchmark pass emitting distinct bit
+    positions per batch (position stream is benchmark-sized); scan: one
+    streaming corpus pass against the broadcast bitset.
+
+    Output: ``(id, n_maybe, contaminated)`` where ``n_maybe`` counts the
+    doc's distinct grams whose ``n_hashes`` bits are all set
+    (``n_maybe >= n_shared`` of the exact scan, elementwise)."""
+    import ray
+
+    from ..kernels.grams import explode_ngrams
+
+    def bench_bits(batch: pa.Table) -> pa.Table:
+        _, grams = explode_ngrams(batch[text_column], k)
+        uniq = np.unique(np.asarray(grams.to_pylist(), dtype=object))
+        pos = _bloom_positions(uniq, n_hashes, m_bits)
+        return pa.table({"pos": pa.array(np.unique(pos.ravel()), pa.int64())})
+
+    parts = benchmark.map_batches(bench_bits, batch_format="pyarrow").take_all()
+    bits = np.zeros(m_bits, dtype=bool)
+    if parts:
+        bits[np.array([r["pos"] for r in parts], dtype=np.int64)] = True
+    bits_ref = ray.put(bits)
+    return corpus.map_batches(
+        BloomContaminationFlagger,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs=dict(
+            bits_ref=bits_ref, text_column=text_column, id_column=id_column,
+            k=k, n_hashes=n_hashes, m_bits=m_bits,
+        ),
+    )

@@ -358,3 +358,79 @@ def test_semantic_truncation_reported(ray_session, clustered_embeddings):
     ).materialize()
     counts = truncation_counts()
     assert counts.get("semantic", {}).get("buckets", 0) > 0
+
+
+def test_bloom_positions_match_sql_convention():
+    import hashlib
+
+    from deepdoctection_ray.stages.dedup import _bloom_positions
+
+    grams = np.asarray(["the quick brown", "lazy dog"], dtype=object)
+    pos = _bloom_positions(grams, n_hashes=4, m_bits=1 << 20)
+    for gi, g in enumerate(grams):
+        for h in range(4):
+            exp = int(hashlib.md5(f"{h}:{g}".encode()).hexdigest()[:12], 16) % (1 << 20)
+            assert pos[gi, h] == exp
+
+
+def test_bloom_never_misses_exact_contamination(ray_session):
+    """No false negatives: every doc the exact scan flags, the Bloom scan
+    flags, and n_maybe >= n_shared elementwise."""
+    from deepdoctection_ray.stages.dedup import (
+        bloom_flag_contaminated,
+        flag_contaminated,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(60):
+        toks = [words[int(rng.randint(len(words)))] for _ in range(30)]
+        rows.append((i, " ".join(toks)))
+    # seed exact leaks: docs 50-54 copy doc 0's text
+    for i in range(50, 55):
+        rows[i] = (i, rows[0][1])
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    import ray.data
+
+    ds = ray.data.from_arrow(t)
+    bench = ds.filter(lambda r: r["doc_id"] < 5)
+    corpus = ds.filter(lambda r: r["doc_id"] >= 5)
+    exact = (
+        flag_contaminated(corpus, bench, "text", "doc_id", k=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    bloom = (
+        bloom_flag_contaminated(corpus, bench, "text", "doc_id", k=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(exact.index) == list(bloom.index)
+    assert (bloom["n_maybe"] >= exact["n_shared"]).all()
+    flagged_exact = set(exact[exact["contaminated"]].index)
+    flagged_bloom = set(bloom[bloom["contaminated"]].index)
+    assert flagged_exact <= flagged_bloom
+    assert {50, 51, 52, 53, 54} <= flagged_bloom
+    # at m=2^20 with this tiny gram set, false positives are ~impossible:
+    # the two scans agree exactly here
+    assert (bloom["n_maybe"] == exact["n_shared"]).all()
+
+
+def test_bloom_filter_is_fixed_size(ray_session):
+    """The broadcast filter is m_bits bools regardless of benchmark size."""
+    from deepdoctection_ray.stages.dedup import _bloom_positions
+
+    pos = _bloom_positions(
+        np.asarray([f"gram number {i}" for i in range(500)], dtype=object),
+        n_hashes=4,
+        m_bits=1 << 10,
+    )
+    assert pos.max() < (1 << 10) and pos.min() >= 0
