@@ -321,3 +321,78 @@ def exact_quantiles(
             "value": pa.array([values[ks[q]] for q in qs], pa.float64()),
         }
     )
+
+
+def grouped_quantiles(
+    ds: "ray.data.Dataset",
+    keys: Sequence[str],
+    column: str,
+    qs: "Sequence[float]",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT per-key quantiles (``quantile_disc`` rule: the k-th smallest,
+    ``k = ceil(q·n) - 1``) with the two-level shrink the 100-TB target
+    needs:
+
+    1. per-batch ``(key, value) → count`` partials (C hash aggregation) —
+       metric columns tie heavily, so the exchange carries the per-batch
+       VALUE HISTOGRAM, not rows;
+    2. one grouped sum over ``(key, value)``;
+    3. one bucketed pass (`bucketed_map_groups` — per hash bucket, not per
+       key) that sorts each key's distinct values, cumulates counts and
+       reads off every quantile vectorized.
+
+    Distinct ``(key, value)`` pairs bound the exchange: for integer-ish
+    metrics this is tiny; for continuous values it degrades to row count
+    (still exact — swap in :func:`exact_quantiles` per key range when that
+    bound hurts). Output: one ``(keys..., q, value)`` row per key per q.
+    """
+    import math
+
+    from .bucketed import bucketed_map_groups
+
+    keys = list(keys)
+    qs = list(qs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys + [column]).group_by(keys + [column]).aggregate(
+            [([], "count_all")]
+        )
+        return t.rename_columns(keys + [column, "n"])
+
+    counted = grouped_sums(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys + [column],
+        ["n"],
+        count_alias=None,
+    )
+
+    def emit(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values(keys + [column], kind="stable")
+        out = {k: [] for k in keys}
+        out_q: list[float] = []
+        out_v: list[float] = []
+        for kv, sub in g.groupby(keys, sort=False):
+            if not isinstance(kv, tuple):
+                kv = (kv,)
+            vals = sub[column].to_numpy()
+            cnts = sub["sum_n"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(cnts)
+            n = int(cum[-1])
+            for q in qs:
+                k = max(0, math.ceil(q * n) - 1)
+                vi = int(np.searchsorted(cum, k + 1))
+                for kc, kval in zip(keys, kv):
+                    out[kc].append(kval)
+                out_q.append(float(q))
+                out_v.append(float(vals[vi]))
+        res = pd.DataFrame(out)
+        res["q"] = out_q
+        res["value"] = out_v
+        return res
+
+    return bucketed_map_groups(
+        counted, keys, emit, num_buckets=num_buckets, batch_format="pandas"
+    )

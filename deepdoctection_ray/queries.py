@@ -1514,6 +1514,24 @@ FROM events
 """
 
 
+def q_grouped_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """EXACT per-key quantiles (quantile_disc rule) of events.value per
+    event_type: per-batch (key, value) histogram partials shrink the
+    exchange, one grouped sum, one bucketed vectorized read-off — never a
+    per-key Python call, never rows to the driver."""
+    from .functions.aggregates import grouped_quantiles
+
+    ev = _t(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantiles(ev, ["event_type"], "value", [0.25, 0.5, 0.9])
+
+
+Q_GROUPED_QUANTILES_SQL = """
+SELECT event_type, unnest([0.25, 0.5, 0.9]) AS q,
+       unnest(quantile_disc(value, [0.25, 0.5, 0.9])) AS value
+FROM events GROUP BY event_type
+"""
+
+
 def q_top_events_per_user(sf_dir: str) -> ray.data.Dataset:
     """Limit-per-key (`ROW_NUMBER() <= 3`): the 3 most recent events of every
     user — per-batch lossless local top-n combiner, then ONE bucketed
@@ -3105,6 +3123,7 @@ def build_queries() -> dict:
         "q_token_nb": q_token_nb,
         "q_embed_cov": q_embed_cov,
         "q_bloom_decontaminate": q_bloom_decontaminate,
+        "q_grouped_quantiles": q_grouped_quantiles,
         # --- flagship pipelines ---
         "q_extract_transcripts": q_extract_transcripts,
         "q_extract_layout": q_extract_layout,
@@ -3232,6 +3251,7 @@ def build_oracle_sql() -> dict:
         "q_token_nb": Q_TOKEN_NB_SQL,
         "q_embed_cov": Q_EMBED_COV_SQL,
         "q_bloom_decontaminate": Q_BLOOM_DECONTAMINATE_SQL,
+        "q_grouped_quantiles": Q_GROUPED_QUANTILES_SQL,
         "q_dedup_semantic": Q_DEDUP_SEMANTIC_SQL,
         "q_audio_features": Q_AUDIO_FEATURES_SQL,
         "q_layoutlm_features": Q_LAYOUTLM_SQL,
