@@ -1532,6 +1532,54 @@ FROM events GROUP BY event_type
 """
 
 
+def q_normalize_text(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style normalization pass (NFC → lower → whitespace collapse →
+    trim): lower/collapse/trim are Arrow C kernels (utf8proc + RE2 — the
+    libraries DuckDB binds); NFC is unicodedata on the non-ASCII sliver
+    (pyarrow 16's utf8_normalize does not compose — see normalize_text).
+    Unicode parity is pinned in pytest; this oracle hash-checks the chain
+    over the corpus."""
+    from .stages.text_stats import normalize_text
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return normalize_text(docs, "text").drop_columns(["text"])
+
+
+Q_NORMALIZE_TEXT_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'), ' ')
+         AS norm_text
+FROM documents
+"""
+
+
+def q_weighted_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic PPS systematic sample (Madow 1949): 500 draws over the
+    documents weighted by n_chars — distributed prefix sum lays the weight
+    line, a pure-integer interval pass selects; Σ n_picks == 500 exactly and
+    the whole draw rebuilds in SQL with a window sum."""
+    from .stages.text_stats import pps_systematic_sample
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return pps_systematic_sample(docs, "doc_id", "n_chars", n=500)
+
+
+Q_WEIGHTED_SAMPLE_SQL = """
+-- the same integer selection rule: doc picked once per sample point
+-- j*W/n inside its cumulative-weight interval; cdiv(a, W) = (a + W - 1) // W
+WITH c AS (
+  SELECT doc_id, n_chars AS wt,
+         sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+),
+t AS (SELECT max(cum) AS W FROM c)
+SELECT doc_id,
+       ((cum * 500 + W - 1) // W - ((cum - wt) * 500 + W - 1) // W)::BIGINT AS n_picks
+FROM c, t
+WHERE ((cum * 500 + W - 1) // W) > (((cum - wt) * 500 + W - 1) // W)
+"""
+
+
 def q_top_events_per_user(sf_dir: str) -> ray.data.Dataset:
     """Limit-per-key (`ROW_NUMBER() <= 3`): the 3 most recent events of every
     user — per-batch lossless local top-n combiner, then ONE bucketed
@@ -3124,6 +3172,8 @@ def build_queries() -> dict:
         "q_embed_cov": q_embed_cov,
         "q_bloom_decontaminate": q_bloom_decontaminate,
         "q_grouped_quantiles": q_grouped_quantiles,
+        "q_weighted_sample": q_weighted_sample,
+        "q_normalize_text": q_normalize_text,
         # --- flagship pipelines ---
         "q_extract_transcripts": q_extract_transcripts,
         "q_extract_layout": q_extract_layout,
@@ -3252,6 +3302,8 @@ def build_oracle_sql() -> dict:
         "q_embed_cov": Q_EMBED_COV_SQL,
         "q_bloom_decontaminate": Q_BLOOM_DECONTAMINATE_SQL,
         "q_grouped_quantiles": Q_GROUPED_QUANTILES_SQL,
+        "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
+        "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
         "q_dedup_semantic": Q_DEDUP_SEMANTIC_SQL,
         "q_audio_features": Q_AUDIO_FEATURES_SQL,
         "q_layoutlm_features": Q_LAYOUTLM_SQL,

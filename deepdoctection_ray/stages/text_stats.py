@@ -431,3 +431,116 @@ def repetition_stats(batch: pa.Table, text_column: str = "text") -> pa.Table:
             "dup_ngram_frac": pa.array(fracs, pa.float64()),
         }
     )
+
+
+def pps_systematic_sample(
+    ds: "ray.data.Dataset",
+    id_column: str,
+    weight_column: str,
+    n: int,
+    picks_column: str = "n_picks",
+) -> "ray.data.Dataset":
+    """Deterministic probability-proportional-to-size systematic sampling
+    (Madow 1949 — the classic PPS design): lay the docs on a line of
+    cumulative weight ``W`` (in ``id_column`` order), drop ``n`` evenly
+    spaced sample points ``p_j = j·W/n``, and keep each doc once per point
+    inside its weight interval. Every selected doc carries ``n_picks``
+    (heavy docs can be hit more than once — the with-replacement PPS
+    convention); ``Σ n_picks == n`` exactly.
+
+    100-TB shape: the weight line comes from the two-pass distributed
+    prefix sum (:func:`~..functions.scan.global_cumsum` — per-range totals
+    to the driver, never rows) plus one streaming pure-INTEGER interval
+    pass, so the draw is bit-reproducible and the SQL oracle rebuilds it
+    with a window sum (`q_weighted_sample`). No RNG, no transcendental in
+    the selection rule — nothing to drift between engines."""
+    from ..functions.scan import global_cumsum
+
+    if n <= 0:
+        raise ValueError("pps_systematic_sample: n must be positive")
+    cum = global_cumsum(
+        ds.select_columns([id_column, weight_column]),
+        id_column,
+        weight_column,
+        out_column="_cum",
+    )
+    from ray.data.aggregate import Max
+
+    total = cum.aggregate(Max("_cum"))["max(_cum)"]
+    if total is None or total <= 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_column: pa.array([], pa.int64()),
+                    picks_column: pa.array([], pa.int64()),
+                }
+            )
+        )
+    W = int(total)
+    if W > (1 << 62) // max(n, 1):
+        raise OverflowError(
+            "pps_systematic_sample: n * total_weight exceeds int64 — "
+            "scale weights down (selection only needs their ratios)"
+        )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        c = batch["_cum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (w < 0).any():
+            raise ValueError("pps_systematic_sample: negative weight")
+        prev = c - w
+        # smallest j with j*W >= x is ceil(x / W); count j in [lo, hi)
+        hi = -(-(c * n) // W)
+        lo = -(-(prev * n) // W)
+        picks = hi - lo
+        keep = picks > 0
+        return pa.table(
+            {
+                id_column: batch[id_column].filter(pa.array(keep)),
+                picks_column: pa.array(picks[keep], pa.int64()),
+            }
+        )
+
+    return cum.map_batches(pick, batch_format="pyarrow")
+
+
+def normalize_text(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    output_column: str = "norm_text",
+    nfc: bool = True,
+    lower: bool = True,
+) -> "ray.data.Dataset":
+    """CCNet-style text normalization (the canonical pre-dedup pass of a
+    web-scale curation pipeline: Wenzek et al. 2020 normalize before
+    hashing): Unicode NFC → lowercase → collapse runs of whitespace to one
+    space → trim. Lower/collapse/trim are Arrow C kernels (utf8proc + RE2 —
+    the same libraries DuckDB binds, so the oracle `q_normalize_text` is
+    bit-exact). NFC runs through ``unicodedata`` ONLY on the rows that
+    contain non-ASCII codepoints (a vectorized RE2 mask finds them; web
+    corpora are ASCII-dominated so the Python path touches a sliver) —
+    pyarrow 16's ``utf8_normalize(form="NFC")`` does NOT compose (measured:
+    é stays e+U+0301), so it cannot implement true NFC here. Appends
+    ``output_column``; the original column survives for provenance."""
+    import unicodedata
+
+    def norm(batch: pa.Table) -> pa.Table:
+        col = pc.cast(batch[text_column], pa.string())
+        if nfc:
+            needs = pc.match_substring_regex(col, "[^\\x00-\\x7f]")
+            idx = np.nonzero(
+                needs.to_numpy(zero_copy_only=False).astype(bool)
+                & pc.is_valid(col).to_numpy(zero_copy_only=False)
+            )[0]
+            if len(idx):
+                vals = col.to_pylist()
+                for i in idx:
+                    vals[i] = unicodedata.normalize("NFC", vals[i])
+                col = pa.array(vals, pa.string())
+        if lower:
+            col = pc.utf8_lower(col)
+        col = pc.replace_substring_regex(col, r"\s+", " ")
+        col = pc.utf8_trim(col, " ")
+        return batch.append_column(output_column, col)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
