@@ -22,10 +22,18 @@ def grouped_sums(
     keys: Sequence[str],
     sum_columns: Sequence[str],
     count_alias: str | None = "n",
+    anchor: "pa.Table | pa.Schema | None" = None,
 ) -> ray.data.Dataset:
     """Grouped sums (+ row count) with per-batch partial aggregation.
 
     Result columns: ``keys + [f"sum_{c}" for c in sum_columns] + [count_alias]``.
+
+    ``anchor``: the caller's statically-known OUTPUT schema. Ray's
+    ``groupby().aggregate()`` on a fully-empty input returns a dataset with
+    no schema at all (measured), which crashes downstream column access and
+    Acero joins; with an anchor, one typed empty block is lazily unioned in
+    so the empty-corpus result still carries the documented columns. Free:
+    no schema probe, no materialization, one 0-row block.
     """
     keys = list(keys)
     sum_columns = list(sum_columns)
@@ -51,7 +59,16 @@ def grouped_sums(
     aggs = [Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sum_columns]
     if count_alias:
         aggs.append(Sum(count_alias, alias_name=count_alias))
-    return partials.groupby(keys).aggregate(*aggs)
+    out = partials.groupby(keys).aggregate(*aggs)
+    return _with_anchor(out, anchor)
+
+
+def _with_anchor(ds: ray.data.Dataset, anchor) -> ray.data.Dataset:
+    """Lazily union one typed empty block (the empty-corpus schema guard)."""
+    if anchor is None:
+        return ds
+    sch = anchor.schema if isinstance(anchor, pa.Table) else anchor
+    return ds.union(ray.data.from_arrow(sch.empty_table()))
 
 
 def grouped_int_sums(
@@ -61,6 +78,7 @@ def grouped_int_sums(
     count_alias: str | None = "n",
     as_float: bool = True,
     num_buckets: int = 64,
+    anchor: "pa.Table | pa.Schema | None" = None,
 ) -> ray.data.Dataset:
     """EXACT grouped sums for integer-scaled money columns.
 
@@ -139,6 +157,7 @@ def grouped_int_sums(
         combine_bucket,
         num_buckets=num_buckets,
         batch_format="pyarrow",
+        anchor=anchor,
     )
 
 
@@ -174,6 +193,7 @@ def top_n_per_group(
     n: int,
     descending: bool | list[bool] = True,
     num_buckets: int = 64,
+    anchor: "pa.Table | pa.Schema | None" = None,
 ) -> "ray.data.Dataset":
     """Limit-per-key: the n first rows of every group under ``order_cols`` —
     the `ROW_NUMBER() OVER (PARTITION BY .. ORDER BY ..) <= n` shape no
@@ -207,8 +227,11 @@ def top_n_per_group(
         return df.groupby(group_cols, sort=False, dropna=False).head(n)
 
     partial = ds.map_batches(local_topn, batch_format="pandas")
-    return bucketed_map_groups(
-        partial, group_cols, local_topn, num_buckets, batch_format="pandas"
+    return _with_anchor(
+        bucketed_map_groups(
+            partial, group_cols, local_topn, num_buckets, batch_format="pandas"
+        ),
+        anchor,
     )
 
 

@@ -48,6 +48,7 @@ def bucketed_map_groups(
     emit_bucket: Callable,
     num_buckets: int = 64,
     batch_format: str = "pyarrow",
+    anchor: "pa.Table | pa.Schema | None" = None,
 ) -> ray.data.Dataset:
     """Run ``emit_bucket`` once per hash bucket instead of once per key.
 
@@ -83,4 +84,11 @@ def bucketed_map_groups(
                 out = pa.Table.from_pandas(out, preserve_index=False)
             return out
 
-    return tagged.groupby(BUCKET_COL).map_groups(run, batch_format=batch_format)
+    out = tagged.groupby(BUCKET_COL).map_groups(run, batch_format=batch_format)
+    if anchor is not None:
+        # empty-corpus schema guard: Ray's map_groups on zero rows yields a
+        # schema-less dataset; one lazily-unioned typed empty block keeps the
+        # documented columns visible to downstream joins / column access
+        sch = anchor.schema if isinstance(anchor, pa.Table) else anchor
+        out = out.union(ray.data.from_arrow(sch.empty_table()))
+    return out

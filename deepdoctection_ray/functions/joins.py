@@ -64,7 +64,9 @@ def broadcast_join(
     return ds.map_batches(Join, batch_format="pyarrow", concurrency=(1, 4))
 
 
-def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+def drop_empty_blocks(
+    ds: ray.data.Dataset, anchor: "pa.Table | pa.Schema | None" = None
+) -> ray.data.Dataset:
     """Materialize a (small, post-shuffle) dataset and rebuild it from its
     non-empty blocks only.
 
@@ -76,6 +78,12 @@ def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
     rebuilt from the surviving block REFS (driver touches metadata only; the
     data never leaves the object store). Apply to aggregate/candidate-sized
     datasets that feed a join, not to raw fact streams.
+
+    ``anchor``: the caller's statically-known output schema (a table or
+    schema). When a FULLY-empty input left Ray with no schema at all (a
+    zero-row corpus — the empty-partition robustness case), the result is a
+    typed empty dataset built from the anchor instead of a schema-less one
+    that would still fail the join's FieldRef resolution.
     """
     mat = ds.materialize()
     refs = [
@@ -88,11 +96,31 @@ def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
         # every block empty: synthesize ONE typed empty block from the known
         # schema so a downstream join still sees its key columns
         schema = mat.schema()
-        if schema is not None and schema.names:
+        if schema is not None and getattr(schema, "names", None):
             empty = pa.schema(zip(schema.names, schema.types)).empty_table()
             return ray.data.from_arrow(empty)
+        if anchor is not None:
+            sch = anchor.schema if isinstance(anchor, pa.Table) else anchor
+            return ray.data.from_arrow(sch.empty_table())
         return mat
     return ray.data.from_arrow_refs(refs)
+
+
+def anchor_blocks(
+    ds: ray.data.Dataset, anchor: "pa.Table | pa.Schema"
+) -> ray.data.Dataset:
+    """Lazily union ONE typed empty block carrying the caller's statically
+    known schema, so a fully-empty upstream still presents its documented
+    columns to schema probes and driver-side consumers. No materialization,
+    no schema() call (which would force a full recompute — measured).
+
+    DO NOT feed the result into ``Dataset.join``: a 0-row block that lands
+    alone in a join partition breaks Ray 2.49's Acero finalize (measured —
+    "No match ... FieldRef"). Join sides must instead be scrubbed with
+    :func:`drop_empty_blocks` (physically removes empty blocks) and
+    fully-empty sides short-circuited by the caller."""
+    sch = anchor.schema if isinstance(anchor, pa.Table) else anchor
+    return ds.union(ray.data.from_arrow(sch.empty_table()))
 
 
 def _bucket_of(keys, num_buckets: int):
@@ -179,7 +207,12 @@ def asof_join(
 
     from .bucketed import bucketed_map_groups
 
-    left_cols = left.schema().names
+    lsch = left.schema()
+    if lsch is None:
+        # fully-empty left (zero-row corpus): Ray kept no schema; the as-of
+        # result is the same empty dataset (left-join semantics)
+        return left
+    left_cols = lsch.names
     l = left.add_column("__side", lambda df: pd.Series(["l"] * len(df)), batch_format="pandas")
     keep = [key_column, ts_column] + right_value_columns
     r = right.select_columns(keep).add_column(
@@ -249,7 +282,11 @@ def range_join(
 
     from .bucketed import bucketed_map_groups
 
-    left_cols = left.schema().names
+    lsch = left.schema()
+    if lsch is None:
+        # fully-empty left: inner-range semantics -> empty result
+        return left
+    left_cols = lsch.names
     carry = list(right_carry) if right_carry else [
         c for c in right.schema().names
         if c not in (key_column, start_column, end_column)

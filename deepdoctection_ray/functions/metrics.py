@@ -69,14 +69,25 @@ def precision_recall_f1(
     return out
 
 
-def column_mean_std(ds: ray.data.Dataset, column: str, by: str | None = None):
+def column_mean_std(
+    ds: ray.data.Dataset,
+    column: str,
+    by: str | None = None,
+    anchor: "pa.Table | pa.Schema | None" = None,
+):
     """Streaming mean/std of a numeric column, optionally grouped
-    (``stats.py:32,153`` analog)."""
+    (``stats.py:32,153`` analog). ``anchor``: statically-known output schema
+    lazily unioned in so a zero-row corpus still yields the documented
+    columns (Ray loses the schema of an empty groupby entirely)."""
     aggs = (Mean(column, alias_name="mean"), Std(column, alias_name="std", ddof=0),
             Count(alias_name="n"))
     if by is None:
         return ds.aggregate(*aggs)
-    return ds.groupby(by).aggregate(*aggs)
+    out = ds.groupby(by).aggregate(*aggs)
+    if anchor is not None:
+        sch = anchor.schema if isinstance(anchor, pa.Table) else anchor
+        out = out.union(ray.data.from_arrow(sch.empty_table()))
+    return out
 
 
 def label_histogram(ds: ray.data.Dataset, column: str) -> ray.data.Dataset:

@@ -54,15 +54,20 @@ def global_cumsum(
     lo, hi = extent[f"min({order_column})"], extent[f"max({order_column})"]
     if lo is None or hi is None:
         # zero rows (or an all-null key column, equally unscannable): return
-        # an empty dataset that still carries the output schema
+        # an empty dataset that still carries the output schema. A fully
+        # empty input may have lost its schema entirely (Ray keeps none for
+        # zero-row map outputs) — fall back to the documented int64 contract
+        # for the key/value columns.
         base = ds.schema()
-        empty = pa.table(
-            {
-                **{n: pa.array([], t) for n, t in zip(base.names, base.types)},
-                out_column: pa.array([], pa.int64()),
+        if base is not None and getattr(base, "names", None):
+            cols = {n: pa.array([], t) for n, t in zip(base.names, base.types)}
+        else:
+            cols = {
+                order_column: pa.array([], pa.int64()),
+                value_column: pa.array([], pa.int64()),
             }
-        )
-        return ray.data.from_arrow(empty)
+        cols[out_column] = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table(cols))
 
     width = max(1, (int(hi) - int(lo) + num_ranges) // num_ranges)
 

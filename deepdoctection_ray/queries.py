@@ -33,6 +33,26 @@ def _t(sf_dir: str, name: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def _empty(sf_dir: str, name: str) -> bool:
+    """O(1) zero-row probe via parquet footer metadata (no Ray execution).
+
+    Ray 2.49's ``Dataset.join`` raises ``ArrowInvalid`` when EITHER side is
+    fully empty — even two bare ``read_parquet`` reads of zero-row files with
+    known schemas (the hash-shuffle aggregator drops empty input blocks and
+    finalizes a schema-less partition table Acero cannot resolve FieldRefs
+    against). Per-partition emptiness is handled by the seam scrubs
+    (``drop_empty_blocks`` / anchors); the WHOLE-table degenerate case is
+    guarded here at the query top, returning the same typed empty result the
+    SQL oracle yields on empty views."""
+    import pyarrow.parquet as _pq
+
+    return _pq.read_metadata(os.path.join(sf_dir, f"{name}.parquet")).num_rows == 0
+
+
+def _empty_result(**cols: pa.DataType) -> pa.Table:
+    return pa.table({k: pa.array([], t) for k, t in cols.items()})
+
+
 # ------------------------------------------------------------ relational core
 
 
@@ -51,6 +71,11 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     drift near a rounding boundary; the oracle sums the same integers
     (DuckDB's BIGINT sum uses a HUGEINT accumulator).
     """
+    if _empty(sf_dir, "lineitem"):
+        return pd.DataFrame(columns=[
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+            "avg_disc", "count_order"])
     cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
     ds = _t(
         sf_dir,
@@ -86,6 +111,12 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         keys=["l_returnflag", "l_linestatus"],
         int_columns=["qty", "price_c", "disc_c", "disc_price_u", "charge_u"],
         count_alias="count_order",
+        anchor=pa.schema(
+            [("l_returnflag", pa.string()), ("l_linestatus", pa.string())]
+            + [(f"sum_{c}", pa.float64())
+               for c in ("qty", "price_c", "disc_c", "disc_price_u", "charge_u")]
+            + [("count_order", pa.int64())]
+        ),
     )
     df = agg.to_pandas()
     # single int→double conversion happened in the combiner; the divisions
@@ -133,6 +164,9 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     filtered-orders (bucketed inner, carrying date/priority) → grouped exact
     revenue → per-batch top-10 partials → driver merges ≤ 10×#batches rows.
     """
+    if any(_empty(sf_dir, t) for t in ("lineitem", "orders", "customer")):
+        return pd.DataFrame(columns=[
+            "l_orderkey", "revenue", "o_orderdate", "o_orderpriority"])
     from .functions.joins import hash_join
 
     cut = pa.scalar(pd.Timestamp("1998-01-01"), pa.timestamp("us"))
@@ -168,7 +202,11 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     # the semi join's empty partitions may emit schema-less blocks; scrub the
     # join→join seam (orders_b is dimension-sized after both filters)
     odim = drop_empty_blocks(
-        orders_b.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"])
+        orders_b.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        anchor=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+             ("o_orderpriority", pa.string())]
+        ),
     ).rename_columns({"o_orderkey": "l_orderkey"})
     joined = hash_join(
         line.map_batches(prep, batch_format="pyarrow"),
@@ -183,6 +221,10 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
         ["rev_u"],
         count_alias=None,
         as_float=False,
+        anchor=pa.schema(
+            [("l_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+             ("o_orderpriority", pa.string()), ("sum_rev_u", pa.int64())]
+        ),
     )
 
     def local_top10(df: pd.DataFrame) -> pd.DataFrame:
@@ -190,6 +232,11 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
 
     # partial top-10 per batch upstream; the driver merges only 10×#batches rows
     partials = agg.map_batches(local_top10, batch_format="pandas").to_pandas()
+    if partials.empty:
+        # zero-row corpus: the map stage was skipped, column names with it
+        partials = pd.DataFrame(
+            columns=["l_orderkey", "o_orderdate", "o_orderpriority", "sum_rev_u"]
+        )
     top = partials.sort_values(["sum_rev_u", "l_orderkey"], ascending=[False, True]).head(10)
     top["revenue"] = top["sum_rev_u"].astype(float) / 10000.0
     return top[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]].reset_index(drop=True)
@@ -215,6 +262,8 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
     genuinely small), but the supplier leg (1M rows at SF100) goes through the
     BUCKETED hash join, with lineitem pre-aggregated to one row per suppkey
     first so the fact side of the shuffle is dimension-sized."""
+    if any(_empty(sf_dir, t) for t in ("lineitem", "supplier", "nation", "region")):
+        return pd.DataFrame(columns=["r_name", "revenue", "n_items"])
     from .functions.joins import hash_join
 
     region = {r["r_regionkey"]: r["r_name"] for r in _t(sf_dir, "region").take_all()}
@@ -241,6 +290,10 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
     per_supp = grouped_int_sums(
         line.map_batches(prep, batch_format="pyarrow"),
         ["l_suppkey"], ["rev_u"], count_alias="n_items", as_float=False,
+        anchor=pa.schema(
+            [("l_suppkey", pa.int64()), ("sum_rev_u", pa.int64()),
+             ("n_items", pa.int64())]
+        ),
     )
     # per_supp comes out of a map_groups combine — scrub the schema-less
     # empty blocks it may carry before the Acero join (see drop_empty_blocks)
@@ -248,7 +301,11 @@ def q5_region_revenue(sf_dir: str) -> pd.DataFrame:
 
     joined = hash_join(drop_empty_blocks(per_supp), supplier_r, "l_suppkey", ["r_name"], how="inner")
     final = grouped_int_sums(
-        joined, ["r_name"], ["sum_rev_u", "n_items"], count_alias=None, as_float=True
+        joined, ["r_name"], ["sum_rev_u", "n_items"], count_alias=None, as_float=True,
+        anchor=pa.schema(
+            [("r_name", pa.string()), ("sum_sum_rev_u", pa.float64()),
+             ("sum_n_items", pa.float64())]
+        ),
     )
     df = final.to_pandas()
     df["revenue"] = df["sum_sum_rev_u"] / 10000.0
@@ -276,6 +333,8 @@ def q_orders_by_segment(sf_dir: str) -> pd.DataFrame:
     """Orders × customer (both fact-scale at SF100): orders pre-aggregate to
     one row per custkey inside ``map_batches``, then ONE bucketed hash join
     against customer — no driver-side dict of 15M customers."""
+    if _empty(sf_dir, "orders") or _empty(sf_dir, "customer"):
+        return pd.DataFrame(columns=["c_mktsegment", "n_orders", "total_price"])
     from .functions.joins import hash_join
 
     orders = _t(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -288,6 +347,10 @@ def q_orders_by_segment(sf_dir: str) -> pd.DataFrame:
     per_cust = grouped_int_sums(
         orders.map_batches(prep, batch_format="pyarrow"),
         ["o_custkey"], ["price_c"], count_alias="n_orders", as_float=False,
+        anchor=pa.schema(
+            [("o_custkey", pa.int64()), ("sum_price_c", pa.int64()),
+             ("n_orders", pa.int64())]
+        ),
     )
     cust = _t(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).rename_columns(
         {"c_custkey": "o_custkey"}
@@ -296,7 +359,11 @@ def q_orders_by_segment(sf_dir: str) -> pd.DataFrame:
 
     joined = hash_join(drop_empty_blocks(per_cust), cust, "o_custkey", ["c_mktsegment"], how="inner")
     final = grouped_int_sums(
-        joined, ["c_mktsegment"], ["sum_price_c", "n_orders"], count_alias=None, as_float=True
+        joined, ["c_mktsegment"], ["sum_price_c", "n_orders"], count_alias=None, as_float=True,
+        anchor=pa.schema(
+            [("c_mktsegment", pa.string()), ("sum_sum_price_c", pa.float64()),
+             ("sum_n_orders", pa.float64())]
+        ),
     )
     df = final.to_pandas()
     df["total_price"] = df["sum_sum_price_c"] / 100.0
@@ -328,15 +395,23 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 
 def q_distinct_status(sf_dir: str) -> pa.Table:
     vals = _t(sf_dir, "orders", columns=["o_orderstatus"]).unique("o_orderstatus")
-    return pa.table({"o_orderstatus": pa.array(sorted(vals), pa.string())})
+    # Ray returns None (not []) for a fully-empty input — empty-corpus guard
+    return pa.table({"o_orderstatus": pa.array(sorted(vals or []), pa.string())})
 
 
 Q_DISTINCT_SQL = "SELECT DISTINCT o_orderstatus FROM orders"
 
 
 def q_events_by_type(sf_dir: str) -> pd.DataFrame:
+    if _empty(sf_dir, "events"):
+        return pd.DataFrame(columns=["event_type", "n", "sum_value", "mean_value"])
     ev = _t(sf_dir, "events", columns=["event_type", "value"])
-    df = grouped_sums(ev, ["event_type"], ["value"], count_alias="n").to_pandas()
+    df = grouped_sums(
+        ev, ["event_type"], ["value"], count_alias="n",
+        anchor=pa.schema(
+            [("event_type", pa.string()), ("sum_value", pa.float64()), ("n", pa.int64())]
+        ),
+    ).to_pandas()
     df["mean_value"] = (df["sum_value"] / df["n"]).round(6)
     df["sum_value"] = df["sum_value"].round(4)
     return df[["event_type", "n", "sum_value", "mean_value"]].sort_values("event_type").reset_index(drop=True)
@@ -668,8 +743,17 @@ FROM documents GROUP BY text
 def q_doc_stats_by_source(sf_dir: str) -> pd.DataFrame:
     from .functions.metrics import column_mean_std
 
+    if _empty(sf_dir, "documents"):
+        return pd.DataFrame(columns=["source", "mean_chars", "std_chars", "n"])
+
     docs = _t(sf_dir, "documents", columns=["source", "n_chars"])
-    df = column_mean_std(docs, "n_chars", by="source").to_pandas()
+    df = column_mean_std(
+        docs, "n_chars", by="source",
+        anchor=pa.schema(
+            [("source", pa.string()), ("mean", pa.float64()),
+             ("std", pa.float64()), ("n", pa.int64())]
+        ),
+    ).to_pandas()
     df["mean"] = df["mean"].round(6)
     df["std"] = df["std"].round(6)
     return df.rename(columns={"mean": "mean_chars", "std": "std_chars"}).sort_values("source").reset_index(drop=True)
@@ -772,6 +856,9 @@ def q_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
     the band curve puts miss probability at s=0.5 below 1e-8, so the verified
     output equals the brute-force jaccard oracle (which is what the SQL
     computes pairwise; LSH is the scale path, the oracle is the semantics)."""
+    if _empty(sf_dir, "documents"):
+        return ray.data.from_arrow(_empty_result(
+            id_a=pa.int64(), id_b=pa.int64(), jaccard=pa.float64()))
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return dd.dedup_minhash(docs, "text", "doc_id", threshold=0.5, num_hashes=128, bands=64)
 
@@ -820,6 +907,9 @@ def q_dedup_jaccard(sf_dir: str) -> ray.data.Dataset:
     oracle, but only ~(1-τ) of each doc's shingles enter the shuffle. The
     lower threshold (vs minhash's 0.5) exercises pairs the banding path never
     sees and pins the prefix filter's losslessness."""
+    if _empty(sf_dir, "documents"):
+        return ray.data.from_arrow(_empty_result(
+            id_a=pa.int64(), id_b=pa.int64(), jaccard=pa.float64()))
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     return dd.dedup_ngram_jaccard(docs, "text", "doc_id", threshold=0.4, k=3)
 
@@ -862,6 +952,9 @@ def q_dup_clusters(sf_dir: str) -> ray.data.Dataset:
     canonical survivor a training pipeline keeps (``doc_id == cluster_id``).
     Oracle: DuckDB recursive transitive closure over the same brute-force
     pair truth the minhash oracle uses."""
+    if _empty(sf_dir, "documents"):
+        return ray.data.from_arrow(_empty_result(
+            doc_id=pa.int64(), cluster_id=pa.int64()))
     from .stages.graph import dup_clusters
 
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
@@ -907,6 +1000,9 @@ def q_curation_pipeline(sf_dir: str) -> ray.data.Dataset:
     end to end, not just stage by stage. Streaming shape: filters are
     block-local, dedup/cluster reuse the bucketed patterns, survivor/loser
     sets apply via bucketed semi/anti hash joins."""
+    if _empty(sf_dir, "documents"):
+        return ray.data.from_arrow(_empty_result(
+            doc_id=pa.int64(), n_tokens=pa.int64()))
     from .functions.joins import drop_empty_blocks, hash_join
     from .stages.graph import connected_components
 
@@ -1012,6 +1108,9 @@ def q_lm_xent(sf_dir: str) -> ray.data.Dataset:
     tables), then the exploded bigram stream hash-joins the counts and
     reduces -avg(ln p) per doc. The oracle rebuilds the identical model and
     expression in SQL."""
+    if _empty(sf_dir, "documents"):
+        return ray.data.from_arrow(_empty_result(
+            doc_id=pa.int64(), n_bigrams=pa.int64(), xent=pa.float64()))
     from .stages.lm import ngram_cross_entropy
 
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1052,6 +1151,9 @@ def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
     dimension-preserving join shape q5/q3 (inner) never exercises. Orders
     pre-aggregate per custkey BEFORE the join (one row per customer enters
     the exchange, the skew-safe order)."""
+    if _empty(sf_dir, "customer"):
+        return ray.data.from_arrow(_empty_result(
+            c_custkey=pa.int64(), n_big_orders=pa.int64()))
     from .functions.bucketed import bucketed_map_groups
     from .functions.joins import drop_empty_blocks, hash_join
 
@@ -1068,7 +1170,19 @@ def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
         return t.rename_columns(["c_custkey", "n_big_orders"])
 
     part = orders.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    agg = drop_empty_blocks(bucketed_map_groups(part, ["c_custkey"], combine))
+    agg = drop_empty_blocks(
+        bucketed_map_groups(part, ["c_custkey"], combine),
+        anchor=pa.schema([("c_custkey", pa.int64()), ("n_big_orders", pa.int64())]),
+    )
+    if agg.count() == 0:
+        # no high-value orders anywhere: skip the join (Ray 2.49 joins cannot
+        # take a fully-empty side; agg is materialized so count() is cheap)
+        return cust.map_batches(
+            lambda b: b.append_column(
+                "n_big_orders", pa.array([0] * len(b), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
     joined = hash_join(cust, agg, "c_custkey", how="left")
 
     def fill(batch: pa.Table) -> pa.Table:
@@ -1430,9 +1544,21 @@ def q_events_range_join(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Max, Min
 
     ext = ev_us.aggregate(Min("ts_us"), Max("ts_us"))
+    if ext["min(ts_us)"] is None:
+        # zero-row events: no time extent, no windows -> typed empty result
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "window_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "first_event": pa.array([], pa.int64()),
+                }
+            )
+        )
     lo, hi = int(ext["min(ts_us)"]), int(ext["max(ts_us)"])
     span = hi - lo
-    types = sorted(ev.unique("event_type"))
+    types = sorted(ev.unique("event_type") or [])
     rows = []
     for et in types:
         for k in range(20):
@@ -2061,6 +2187,9 @@ def q_knn_ivf(sf_dir: str) -> ray.data.Dataset:
     every row is the constant ceil(0.8k) the SQL oracle emits; a recall miss
     surfaces as a smaller (informative) hit count. Measured recall at n_probe
     8/16 is ≥ 0.9 at sf 0.001/0.01/0.1."""
+    if _empty(sf_dir, "embeddings"):
+        return ray.data.from_arrow(_empty_result(
+            query_id=pa.int64(), k=pa.int64(), hits_at_least=pa.int64()))
     emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     approx = sim.knn_ivf(emb, query_ids=[0, 1, 2], k=10, n_centroids=16, n_probe=8)
     exact = sim.knn_brute(emb, query_ids=[0, 1, 2], k=10)
@@ -2627,6 +2756,9 @@ def q_ngram_lid(sf_dir: str) -> ray.data.Dataset:
     an actor-pool stage. Pure integer counting + rank arithmetic, so DuckDB
     rebuilds training AND inference bit-exactly — a hash-checked trained
     model, not a heuristic."""
+    if _empty(sf_dir, "documents"):
+        return ray.data.from_arrow(_empty_result(
+            doc_id=pa.int64(), pred_lang=pa.string(), dist=pa.int64()))
     from .stages.lid import NgramLanguageClassifier, train_ngram_lid
 
     labeled = _t(sf_dir, "documents", columns=["doc_id", "text", "lang"])

@@ -435,7 +435,26 @@ def _verify_pairs_exact(
     # map_groups leaves behind so the Acero joins see a stable schema
     from ..functions.joins import drop_empty_blocks
 
-    pairs = drop_empty_blocks(pairs)
+    # int64 id anchors: the empty-corpus guard only engages when EVERY block
+    # is empty and Ray kept no schema (sf ids are int64; a string-id caller
+    # hits this only on a zero-row corpus)
+    pairs = drop_empty_blocks(
+        pairs, anchor=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    )
+    if pairs.count() == 0:
+        # no candidates at all (fully-truncated buckets / empty corpus):
+        # Ray 2.49's Dataset.join cannot take a fully-empty side — and the
+        # verified result is definitionally empty. count() here is metadata
+        # on the just-materialized candidate set, not a recompute.
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     from ..functions.joins import hash_join
 
@@ -446,6 +465,10 @@ def _verify_pairs_exact(
         )
         return pa.table({id_column: pc.unique(ids)})
 
+    # pairs is non-empty here (the count()==0 short-circuit above) and was
+    # scrubbed to non-empty blocks, so every explode output block is
+    # non-empty too — the join sides below never see a 0-row block (a lone
+    # 0-row block in a join partition breaks Ray 2.49's Acero finalize)
     candidates = pairs.map_batches(explode_ids, batch_format="pyarrow")
 
     # 2. corpus ⋉ candidates (bucketed semi-join), then shingle ONLY those docs
@@ -468,7 +491,10 @@ def _verify_pairs_exact(
         )
 
     # doc_shingles also feeds two joins — materialize (candidate-sized, small)
-    doc_shingles = drop_empty_blocks(colliding.map_batches(to_shingles, batch_format="pyarrow"))
+    doc_shingles = drop_empty_blocks(
+        colliding.map_batches(to_shingles, batch_format="pyarrow"),
+        anchor=pa.schema([(id_column, pa.int64()), ("shingles", pa.binary())]),
+    )
 
     # 3. attach shingles to each pair side via two bucketed joins, then verify
     side_a = doc_shingles.rename_columns({id_column: "id_a", "shingles": "shingles_a"})
@@ -476,7 +502,19 @@ def _verify_pairs_exact(
     withs = hash_join(pairs, side_a, "id_a", ["shingles_a"], how="inner")
     # a join's own empty partitions can also surface schema-less blocks —
     # scrub the join→join seam (candidate-sized, cheap)
-    withs = hash_join(drop_empty_blocks(withs), side_b, "id_b", ["shingles_b"], how="inner")
+    withs = hash_join(
+        drop_empty_blocks(
+            withs,
+            anchor=pa.schema(
+                [("id_a", pa.int64()), ("id_b", pa.int64()),
+                 ("shingles_a", pa.binary())]
+            ),
+        ),
+        side_b,
+        "id_b",
+        ["shingles_b"],
+        how="inner",
+    )
 
     def verify_batch(batch: pa.Table) -> pa.Table:
         ja = [
@@ -965,8 +1003,19 @@ def dedup_segments(
         return pa.table({"row_key": pa.array(rks, pa.string())})
 
     keys = drop_empty_blocks(
-        survivors.map_batches(survivor_keys, batch_format="pyarrow")
+        survivors.map_batches(survivor_keys, batch_format="pyarrow"),
+        anchor=pa.schema([("row_key", pa.string())]),
     )
+    if keys.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_column: pa.array([], pa.int64()),
+                    "seg_idx": pa.array([], pa.int64()),
+                    "seg": pa.array([], pa.string()),
+                }
+            )
+        )
     rejoined = hash_join(
         ds.map_batches(explode_text, batch_format="pyarrow"), keys, "row_key", how="semi"
     )

@@ -174,6 +174,10 @@ def train_ngram_lid(
         top_k,
         descending=[True, False, False],
         num_buckets=8,
+        anchor=pa.schema(
+            [("lang", pa.string()), ("key", pa.int64()),
+             ("c", pa.int64()), ("glen", pa.int64())]
+        ),
     )
     prof = cand.to_pandas()  # L × K rows — dimension-sized
     rows = {"lang": [], "gram": [], "key": [], "rank": []}

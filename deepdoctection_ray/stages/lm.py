@@ -105,8 +105,14 @@ def ngram_cross_entropy(
     v_total = vparts.sum("n")
     v = int(v_total) if v_total is not None else 0
 
-    cbg = drop_empty_blocks(_count_by(bg, "b", "c12", num_buckets))
-    cw1 = drop_empty_blocks(_count_by(bg, "w1", "c1", num_buckets))
+    cbg = drop_empty_blocks(
+        _count_by(bg, "b", "c12", num_buckets),
+        anchor=pa.schema([("b", pa.string()), ("c12", pa.int64())]),
+    )
+    cw1 = drop_empty_blocks(
+        _count_by(bg, "w1", "c1", num_buckets),
+        anchor=pa.schema([("w1", pa.string()), ("c1", pa.int64())]),
+    )
 
     # attach C(w1) to the bigram-count table FIRST (vocab-sized × vocab-sized
     # join; w1 is recoverable from the bigram string because tokens are
@@ -116,13 +122,37 @@ def ngram_cross_entropy(
         return batch.append_column("w1", w1)
 
     model = hash_join(
-        drop_empty_blocks(cbg.map_batches(with_w1, batch_format="pyarrow", batch_size=None)),
+        drop_empty_blocks(
+            cbg.map_batches(with_w1, batch_format="pyarrow", batch_size=None),
+            anchor=pa.schema(
+                [("b", pa.string()), ("c12", pa.int64()), ("w1", pa.string())]
+            ),
+        ),
         cw1,
         "w1",
         num_buckets=join_buckets,
     ).select_columns(["b", "c12", "c1"])
     # join→join seam scrub (vocab-sized — cheap; CLAUDE.md invariant)
-    model = drop_empty_blocks(model)
+    model = drop_empty_blocks(
+        model,
+        anchor=pa.schema(
+            [("b", pa.string()), ("c12", pa.int64()), ("c1", pa.int64())]
+        ),
+    )
+
+    if model.count() == 0:
+        # empty model => no doc had >= 2 tokens: result is typed-empty
+        # (Ray 2.49 joins cannot take a fully-empty side; model is already
+        # materialized by the seam scrub, so count() is metadata-cheap)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "xent": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     joined = hash_join(bg.select_columns(["doc_id", "b"]), model, "b", num_buckets=join_buckets)
 

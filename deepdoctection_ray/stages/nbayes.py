@@ -86,6 +86,16 @@ def _explode(texts: list) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(toks), np.concatenate(rows)
 
 
+def _empty_model() -> pa.Table:
+    return pa.table(
+        {
+            "label": pa.array([], pa.string()),
+            "bucket": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+        }
+    )
+
+
 def train_naive_bayes(
     ds: ray.data.Dataset,
     text_column: str = "text",
@@ -141,6 +151,9 @@ def train_naive_bayes(
 
     model = sums.map_batches(rename, batch_format="pyarrow")
     out = model.to_pandas()  # ≤ L × (num_buckets + 1) rows — model-sized
+    if out.empty:
+        # zero-row corpus: Ray loses the aggregate's schema — typed empty model
+        return _empty_model()
     out = out.sort_values(["label", "bucket"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -189,7 +202,7 @@ class NaiveBayesClassifier:
     def __call__(self, batch: pa.Table) -> pa.Table:
         toks, rows = _explode(batch[self.text_column].to_pylist())
         ids = batch[self.id_column]
-        if len(toks) == 0:
+        if len(toks) == 0 or not self.labels:
             return pa.table(
                 {
                     self.id_column: pa.array([], ids.type),
@@ -326,6 +339,8 @@ def train_token_nb(
         )
 
     out = sums.map_batches(rename, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return _empty_model()
     out = out.sort_values(["label", "bucket"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -372,7 +387,7 @@ class TokenNBClassifier:
         texts = batch[self.text_column].to_pylist()
         ids_np = batch[self.id_column].to_numpy(zero_copy_only=False)
         feats, rows, poss = _token_features(texts)
-        if len(feats) == 0:
+        if len(feats) == 0 or not self.labels:
             return pa.table(
                 {
                     self.id_column: pa.array([], batch[self.id_column].type),

@@ -89,7 +89,7 @@ def _moments(ds: ray.data.Dataset, embedding_column: str) -> tuple[int, np.ndarr
         .take_all()
     )  # ≤ ceil(blocks / 128) tiny rows
     if not rows:
-        raise ValueError("fit_pca: empty dataset")
+        raise ValueError("empty dataset: no moments to accumulate")
     d = int(rows[0]["d"])
     n = sum(int(r["n"]) for r in rows)
     sx = np.zeros(d, np.float64)
@@ -158,7 +158,17 @@ def covariance_table(
     """Upper-triangle population covariance as ``(di, dj, cov)`` rows
     (1-based dims, ``di <= dj``, rounded 6) — the SQL-checkable face of the
     distributed moment pass behind :func:`fit_pca`."""
-    n, sx, sxx = _moments(ds, embedding_column)
+    try:
+        n, sx, sxx = _moments(ds, embedding_column)
+    except ValueError:
+        # zero-row corpus: the covariance is an empty (typed) triangle
+        return pa.table(
+            {
+                "di": pa.array([], pa.int64()),
+                "dj": pa.array([], pa.int64()),
+                "cov": pa.array([], pa.float64()),
+            }
+        )
     mean = sx / n
     cov = sxx / n - np.outer(mean, mean)
     d = len(mean)

@@ -154,6 +154,9 @@ def knn_brute(
     vec_id) with deterministic tie-breaks; k rows per query.
     """
     q_rows = _collect_queries(ds, query_ids, id_column, embedding_column, query_vectors)
+    if not q_rows:
+        # zero-row corpus (or no matching query ids): typed empty result
+        return ray.data.from_arrow(_topk_table([], [], [], pa.int64(), pa.int64()))
     return _brute_from_queries(ds, q_rows, k, embedding_column, id_column)
 
 
@@ -197,6 +200,8 @@ def knn_lsh(
     buckets are scanned — the scan cost drops by ~2^planes/(planes+1).
     """
     q_rows = _collect_queries(ds, query_ids, id_column, embedding_column, query_vectors)
+    if not q_rows:
+        return ray.data.from_arrow(_topk_table([], [], [], pa.int64(), pa.int64()))
     qvecs = np.asarray([r[embedding_column] for r in q_rows], dtype=np.float64)
     dim = qvecs.shape[1]
     h = lsh_hyperplanes_int(dim, planes, seed)
@@ -238,8 +243,10 @@ def train_ivf_centroids(
     an extra dataset execution.
     """
     if dim is None:
-        first = ds.take(1)[0]
-        dim = len(first[embedding_column])
+        first = ds.take(1)
+        if not first:
+            raise ValueError("train_ivf_centroids: empty dataset")
+        dim = len(first[0][embedding_column])
     cent = _unit(np.random.RandomState(seed).standard_normal((n_centroids, dim)))
     for _ in range(lloyd_iters):
         cent_t = cent.T.copy()
@@ -287,6 +294,8 @@ def knn_ivf(
     each query's ``n_probe`` nearest — scan cost ~ ``n_probe/n_centroids`` of
     brute force at equal recall for clustered data."""
     q_rows = _collect_queries(ds, query_ids, id_column, embedding_column, query_vectors)
+    if not q_rows:
+        return ray.data.from_arrow(_topk_table([], [], [], pa.int64(), pa.int64()))
     qvecs = _unit(np.asarray([r[embedding_column] for r in q_rows], dtype=np.float64))
     cent = train_ivf_centroids(
         ds, n_centroids=n_centroids, embedding_column=embedding_column,
@@ -420,9 +429,21 @@ def semantic_pairs(
     truncation reporter. One shuffle, keyed by cluster id."""
     from .dedup import _grouped_collisions, _dedup_pair_rows, _report_truncation
 
-    cent = train_ivf_centroids(
-        ds, n_centroids, embedding_column, seed=seed, lloyd_iters=lloyd_iters
-    )
+    try:
+        cent = train_ivf_centroids(
+            ds, n_centroids, embedding_column, seed=seed, lloyd_iters=lloyd_iters
+        )
+    except ValueError:
+        # zero-row corpus: no clusters, no pairs — typed empty result
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        )
     cent_t = cent.T.copy()
 
     def assign(batch: pa.Table) -> pa.Table:
