@@ -1679,6 +1679,99 @@ FROM documents
 """
 
 
+def q_countmin_grams(sf_dir: str) -> pa.Table:
+    """Count-Min frequency sketch under the gate: one mergeable 4×4096
+    sketch of all word-3-gram occurrences (fixed 128 KiB per batch crosses
+    the exchange, never the gram stream), probed with the distinct grams of
+    docs 0-4. md5-derived row hashes make the whole sketch deterministic, so
+    DuckDB rebuilds counters AND estimates bit-exactly; the e≥true
+    overestimate guarantee is pinned in pytest."""
+    from .kernels.normalize import word_ngrams
+    from .stages.sketches import countmin_ngrams
+
+    if _empty(sf_dir, "documents"):
+        return _empty_result(gram=pa.string(), est=pa.int64())
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    cm = countmin_ngrams(docs, "text", k=3, depth=4, width=1 << 12)
+    probe_rows = docs.filter(lambda r: r["doc_id"] < 5).take_all()  # probe-sized
+    probe = sorted({g for r in probe_rows for g in word_ngrams(r["text"] or "", 3)})
+    ests = cm.estimate(np.asarray(probe, dtype=object))
+    return pa.table(
+        {
+            "gram": pa.array(probe, pa.string()),
+            "est": pa.array(ests, pa.int64()),
+        }
+    )
+
+
+Q_COUNTMIN_SQL = r"""
+-- the Count-Min sketch rebuilt bit-exactly: counter (r, b) sums ALL gram
+-- occurrences with md5(r||':'||gram) prefix-bucket b; estimate = min over
+-- the 4 rows; probe set = distinct grams of docs 0-4
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+         END AS grams
+  FROM toks
+),
+g AS (SELECT doc_id, unnest(grams) AS s FROM sh),
+hs AS (SELECT unnest(generate_series(0, 3))::VARCHAR AS r),
+buck AS (
+  SELECT hs.r,
+         ('0x' || substr(md5(hs.r || ':' || g.s), 1, 12))::UBIGINT % 4096 AS b,
+         count(*) AS c
+  FROM g, hs
+  GROUP BY 1, 2
+),
+probe AS (SELECT DISTINCT s FROM g WHERE doc_id < 5),
+pb AS (
+  SELECT probe.s, hs.r,
+         ('0x' || substr(md5(hs.r || ':' || probe.s), 1, 12))::UBIGINT % 4096 AS b
+  FROM probe, hs
+)
+SELECT pb.s AS gram, min(buck.c)::BIGINT AS est
+FROM pb JOIN buck ON buck.r = pb.r AND buck.b = pb.b
+GROUP BY pb.s
+"""
+
+
+def q_tfidf_terms(sf_dir: str) -> ray.data.Dataset:
+    """Top-3 TF-IDF terms per document (Spärck Jones 1972): one explode
+    pass → bucketed DF counts → ONE fact-stream join → lossless per-batch
+    top-n combiner + bucketed head. Ranked by (round(tfidf,6) desc, term) —
+    the deterministic tie-break the SQL oracle shares."""
+    from .stages.search import tfidf_topk
+
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_topk(docs, "text", "doc_id", top_n=3)
+
+
+Q_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+),
+tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         round(tf.tf * ln(n.n::DOUBLE / dfq.df), 6) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3
+"""
+
+
 def q_weighted_sample(sf_dir: str) -> ray.data.Dataset:
     """Deterministic PPS systematic sample (Madow 1949): 500 draws over the
     documents weighted by n_chars — distributed prefix sum lays the weight
@@ -3304,6 +3397,8 @@ def build_queries() -> dict:
         "q_embed_cov": q_embed_cov,
         "q_bloom_decontaminate": q_bloom_decontaminate,
         "q_grouped_quantiles": q_grouped_quantiles,
+        "q_countmin_grams": q_countmin_grams,
+        "q_tfidf_terms": q_tfidf_terms,
         "q_weighted_sample": q_weighted_sample,
         "q_normalize_text": q_normalize_text,
         # --- flagship pipelines ---
@@ -3434,6 +3529,8 @@ def build_oracle_sql() -> dict:
         "q_embed_cov": Q_EMBED_COV_SQL,
         "q_bloom_decontaminate": Q_BLOOM_DECONTAMINATE_SQL,
         "q_grouped_quantiles": Q_GROUPED_QUANTILES_SQL,
+        "q_countmin_grams": Q_COUNTMIN_SQL,
+        "q_tfidf_terms": Q_TFIDF_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
         "q_dedup_semantic": Q_DEDUP_SEMANTIC_SQL,

@@ -109,3 +109,104 @@ def bm25_search(
 
     part = docs.map_batches(score_topk, batch_format="pyarrow", batch_size=None)
     return part.sort(["score", id_column], descending=[True, False]).limit(k)
+
+
+def tfidf_topk(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    top_n: int = 3,
+    num_buckets: int = 32,
+    join_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Top-``top_n`` TF-IDF terms per document — the classic keyword /
+    feature extractor (Spärck Jones 1972): ``tfidf = tf · ln(N / df)``
+    ranked per doc by ``(round(tfidf, 6) desc, term asc)`` (the 6-decimal
+    round is the deterministic cross-engine tie-break the SQL oracle
+    shares; a raw-float order could flip on a 1-ulp ln() difference
+    between numpy and DuckDB).
+
+    Scale shape (mirrors ``stages/lm.py``): one explode pass produces the
+    flat ``(doc, term, tf)`` table, materialized once because two consumers
+    need it (the DF aggregate and the scoring join) — re-deriving it twice
+    is the streaming alternative when pinning the table is too dear; DF is
+    a bucketed grouped count (tf rows are unique per (doc, term), so
+    ``count == count distinct docs``); ONE fact-stream hash join attaches
+    df (vocab-sized right side — not broadcast: real vocabs don't fit a
+    heap); top-n per doc via the lossless-combiner + bucketed-head
+    primitive. Output: ``(id, term, tf, df, tfidf)``."""
+    from ..functions.aggregates import grouped_sums, top_n_per_group
+    from ..functions.joins import drop_empty_blocks, hash_join
+
+    n_docs = ds.count()
+    if n_docs == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_column: pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "tfidf": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def explode_tf(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids, terms = [], []
+        for i, t in zip(batch[id_column].to_pylist(), batch[text_column].to_pylist()):
+            for w in (t or "").split(" "):
+                if w:
+                    ids.append(i)
+                    terms.append(w)
+        df = pd.DataFrame({"i": ids, "term": terms})
+        agg = df.groupby(["i", "term"], sort=False).size().reset_index(name="tf")
+        return pa.table(
+            {
+                id_column: pa.array(agg["i"], batch[id_column].type),
+                "term": pa.array(agg["term"], pa.string()),
+                "tf": pa.array(agg["tf"], pa.int64()),
+            }
+        )
+
+    tf_rows = ds.map_batches(explode_tf, batch_format="pyarrow").materialize()
+    if tf_rows.count() == 0:
+        # every document tokenized to nothing: typed empty result (a fully
+        # empty side would also break the Ray 2.49 join below)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_column: pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "tfidf": pa.array([], pa.float64()),
+                }
+            )
+        )
+    # tf rows are unique per (doc, term): a plain grouped count IS the
+    # document frequency. One caveat: a doc whose text repeats across blocks
+    # cannot occur (rows group per batch but a doc lives in one row).
+    df_tab = drop_empty_blocks(
+        grouped_sums(tf_rows.select_columns(["term"]), ["term"], [], count_alias="df"),
+        anchor=pa.schema([("term", pa.string()), ("df", pa.int64())]),
+    )
+    joined = hash_join(tf_rows, df_tab, "term", ["df"], num_buckets=join_buckets)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.round(tf * np.log(float(n_docs) / dfv), 6)
+        return batch.append_column("tfidf", pa.array(w, pa.float64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow", batch_size=None)
+    return top_n_per_group(
+        scored,
+        [id_column],
+        ["tfidf", "term"],
+        top_n,
+        descending=[True, False],
+        num_buckets=num_buckets,
+    )

@@ -124,3 +124,120 @@ def approx_distinct(
         .groupby(key)
         .map_groups(reduce_group, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------- Count-Min
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, public algorithm):
+    ``depth`` hash rows × ``width`` int64 counters; ``estimate(x) =
+    min_r counters[r][h_r(x)]`` — never an underestimate, overestimate
+    bounded by ``e·N/width`` with probability ``1 − e^{-depth}``.
+
+    Merge is elementwise addition — the canonical mergeable-sketch shape:
+    one ``depth × width`` array per batch crosses the exchange, never the
+    keys. Row hashes are md5-prefix derived (``md5(f"{row}:{key}")``), the
+    repo-wide SQL-matching convention, so the ENTIRE sketch rebuilds
+    bit-exactly in DuckDB (the ``q_countmin_grams`` oracle)."""
+
+    def __init__(self, depth: int = 4, width: int = 1 << 12,
+                 counters: np.ndarray | None = None) -> None:
+        self.depth = depth
+        self.width = width
+        self.counters = (
+            counters
+            if counters is not None
+            else np.zeros((depth, width), dtype=np.int64)
+        )
+
+    @staticmethod
+    def _buckets(keys: np.ndarray, depth: int, width: int) -> np.ndarray:
+        """(len(keys), depth) bucket indices — md5 once per DISTINCT
+        (row, key); SQL: ``('0x'||substr(md5(r||':'||k),1,12))::UBIGINT % w``."""
+        import hashlib
+
+        out = np.empty((len(keys), depth), dtype=np.int64)
+        for ki, k in enumerate(keys):
+            for r in range(depth):
+                out[ki, r] = (
+                    int(hashlib.md5(f"{r}:{k}".encode("utf-8")).hexdigest()[:12], 16)
+                    % width
+                )
+        return out
+
+    def add(self, keys: np.ndarray, counts: np.ndarray) -> None:
+        """Add ``counts[i]`` occurrences of ``keys[i]`` (keys need not be
+        unique; callers should pre-aggregate per batch)."""
+        if len(keys) == 0:
+            return
+        b = self._buckets(keys, self.depth, self.width)
+        for r in range(self.depth):
+            np.add.at(self.counters[r], b[:, r], counts)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.counters += other.counters
+        return self
+
+    def estimate(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.empty(0, dtype=np.int64)
+        b = self._buckets(keys, self.depth, self.width)
+        ests = np.stack(
+            [self.counters[r][b[:, r]] for r in range(self.depth)], axis=1
+        )
+        return ests.min(axis=1)
+
+    def to_bytes(self) -> bytes:
+        return self.counters.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, depth: int = 4, width: int = 1 << 12) -> "CountMinSketch":
+        return cls(depth, width, np.frombuffer(data, np.int64).reshape(depth, width).copy())
+
+
+def countmin_ngrams(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    k: int = 3,
+    depth: int = 4,
+    width: int = 1 << 12,
+) -> CountMinSketch:
+    """Build one corpus-wide Count-Min sketch of word k-gram frequencies:
+    per-batch partial sketches (each batch pre-aggregates its DISTINCT grams
+    before hashing) merged by addition — ``depth × width × 8`` bytes per
+    batch cross the exchange, never the gram stream. The same canonical gram
+    definition as every other gram operator (``kernels.normalize.word_ngrams``
+    incl. the short-doc fallback)."""
+    from ..kernels.grams import explode_ngrams
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, grams = explode_ngrams(batch[text_column], k)
+        cm = CountMinSketch(depth, width)
+        if len(grams):
+            import pandas as pd
+
+            agg = (
+                pd.Series(grams.to_pylist()).value_counts(sort=False)
+            )
+            cm.add(
+                agg.index.to_numpy(dtype=object),
+                agg.to_numpy(dtype=np.int64),
+            )
+        return pa.table({"sk": pa.array([cm.to_bytes()], pa.binary())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        cm = CountMinSketch(depth, width)
+        for blob in batch["sk"].to_pylist():
+            cm.merge(CountMinSketch.from_bytes(blob, depth, width))
+        return pa.table({"sk": pa.array([cm.to_bytes()], pa.binary())})
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=64)
+        .take_all()
+    )  # ≤ ceil(batches / 64) sketch rows — fixed-size each
+    cm = CountMinSketch(depth, width)
+    for r in rows:
+        cm.merge(CountMinSketch.from_bytes(r["sk"], depth, width))
+    return cm

@@ -85,3 +85,67 @@ def test_bm25_all_zero_length_docs(ray_session):
     got = bm25_search(ray.data.from_items(docs), TERMS, k=2).to_pandas()
     assert list(got["score"]) == [0.0, 0.0]
     assert list(got["doc_id"]) == [1, 2]
+
+
+def test_tfidf_topk_matches_reference(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+    from deepdoctection_ray.stages.search import tfidf_topk
+
+    texts = [
+        "apple banana apple cherry",
+        "banana banana date",
+        "apple egg egg egg fig",
+        "cherry date fig",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = (
+        tfidf_topk(ray.data.from_arrow(t).repartition(3), "text", "doc_id", top_n=2)
+        .to_pandas()
+        .sort_values(["doc_id", "tfidf", "term"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    # hand reference
+    from collections import Counter
+
+    tfs = [Counter(x.split()) for x in texts]
+    df = Counter(w for c in tfs for w in c)
+    n = len(texts)
+    for doc_id, c in enumerate(tfs):
+        scored = sorted(
+            ((round(tf * math.log(n / df[w]), 6), w) for w, tf in c.items()),
+            key=lambda p: (-p[0], p[1]),
+        )[:2]
+        got = out[out["doc_id"] == doc_id]
+        assert list(got["term"]) == [w for _, w in scored]
+        assert np.allclose(got["tfidf"], [s for s, _ in scored], atol=1e-9)
+    # exactly top_n rows per doc
+    assert (out.groupby("doc_id").size() == 2).all()
+
+
+def test_tfidf_empty_corpus(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from deepdoctection_ray.stages.search import tfidf_topk
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array([""], pa.string()),
+        }
+    )
+    out_ds = tfidf_topk(ray.data.from_arrow(t), "text", "doc_id", top_n=2)
+    # Ray's to_pandas() drops columns from a fully-empty dataset; assert on
+    # the dataset schema (typed by the operator's empty guard) + row count
+    assert out_ds.count() == 0
+    assert "tfidf" in out_ds.schema().names
