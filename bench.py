@@ -46,6 +46,9 @@ QUERY_NAMES = [
     "q_dup_clusters",
     "q_curation_pipeline",
     "q_lm_xent",
+    "q_ngram_lid",
+    "q_nb_classify",
+    "q_dedup_incremental",
 ]
 
 

@@ -1741,6 +1741,32 @@ GROUP BY pb.s
 """
 
 
+def q_dedup_incremental(sf_dir: str) -> ray.data.Dataset:
+    """Incremental ingestion dedup: docs with doc_id % 3 == 0 play the
+    standing corpus; the rest are the incoming shard, each flagged if its
+    exact text already exists in the standing set. Both sides pre-hash to
+    md5 keys before the ONE bucketed join — texts never cross the exchange,
+    the standing corpus is never re-deduplicated against itself."""
+    from .stages.dedup import dedup_incremental
+
+    if _empty(sf_dir, "documents"):
+        return ray.data.from_arrow(_empty_result(
+            doc_id=pa.int64(), dedup_key=pa.string(), is_duplicate=pa.bool_()))
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    existing = docs.filter(lambda r: r["doc_id"] % 3 == 0)
+    new = docs.filter(lambda r: r["doc_id"] % 3 != 0)
+    return dedup_incremental(new, existing, "text", "doc_id")
+
+
+Q_DEDUP_INCREMENTAL_SQL = """
+SELECT n.doc_id, md5(n.text) AS dedup_key,
+       (e.k IS NOT NULL) AS is_duplicate
+FROM (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0) n
+LEFT JOIN (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 3 = 0) e
+  ON md5(n.text) = e.k
+"""
+
+
 def q_tfidf_terms(sf_dir: str) -> ray.data.Dataset:
     """Top-3 TF-IDF terms per document (Spärck Jones 1972): one explode
     pass → bucketed DF counts → ONE fact-stream join → lossless per-batch
@@ -3399,6 +3425,7 @@ def build_queries() -> dict:
         "q_grouped_quantiles": q_grouped_quantiles,
         "q_countmin_grams": q_countmin_grams,
         "q_tfidf_terms": q_tfidf_terms,
+        "q_dedup_incremental": q_dedup_incremental,
         "q_weighted_sample": q_weighted_sample,
         "q_normalize_text": q_normalize_text,
         # --- flagship pipelines ---
@@ -3531,6 +3558,7 @@ def build_oracle_sql() -> dict:
         "q_grouped_quantiles": Q_GROUPED_QUANTILES_SQL,
         "q_countmin_grams": Q_COUNTMIN_SQL,
         "q_tfidf_terms": Q_TFIDF_SQL,
+        "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
         "q_dedup_semantic": Q_DEDUP_SEMANTIC_SQL,

@@ -1141,3 +1141,92 @@ def bloom_flag_contaminated(
             k=k, n_hashes=n_hashes, m_bits=m_bits,
         ),
     )
+
+
+# ------------------------------------------------------- incremental dedup
+
+
+def dedup_incremental(
+    new: ray.data.Dataset,
+    existing: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Incremental ingestion dedup: flag each NEW document whose text
+    already exists in the EXISTING corpus (exact content match) — the shape
+    a growing 100-TB corpus actually needs: a new crawl shard dedups against
+    the standing index without ever re-deduplicating the standing corpus
+    against itself.
+
+    Both sides reduce to ``(md5(text))`` keys per batch BEFORE the exchange
+    (the same pre-hash that makes :func:`dedup_exact` scale — multi-MB texts
+    never cross); the existing side additionally collapses to DISTINCT keys
+    per batch (within-corpus duplicates are irrelevant here). One bucketed
+    hash join marks the hits. Output: every NEW row's
+    ``(id, dedup_key, is_duplicate)``.
+
+    Compose with :func:`dedup_exact` on the new shard itself for the full
+    ingest step (intra-shard first-wins, then cross-corpus flagging)."""
+    from ..functions.joins import drop_empty_blocks, hash_join
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "dedup_key": pa.array([md5_hex(t or "") for t in texts], pa.string()),
+            }
+        )
+
+    def existing_keys(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        keys = sorted({md5_hex(t or "") for t in texts})
+        return pa.table({"dedup_key": pa.array(keys, pa.string()),
+                         "_hit": pa.array([True] * len(keys), pa.bool_())})
+
+    new_keys = new.map_batches(key_rows, batch_format="pyarrow")
+    # per-batch distinct, then one bucketed first-wins to global-distinct —
+    # the existing side enters the join at one row per distinct text
+    from ..functions.bucketed import bucketed_map_groups
+
+    def distinct_bucket(g: pa.Table) -> pa.Table:
+        t = g.group_by("dedup_key").aggregate([("_hit", "min")])
+        return t.rename_columns(["dedup_key", "_hit"])
+
+    old_keys = drop_empty_blocks(
+        bucketed_map_groups(
+            existing.map_batches(existing_keys, batch_format="pyarrow"),
+            ["dedup_key"],
+            distinct_bucket,
+            num_buckets=64,
+        ),
+        anchor=pa.schema([("dedup_key", pa.string()), ("_hit", pa.bool_())]),
+    )
+
+    if old_keys.count() == 0:
+        # empty standing corpus: nothing can be a duplicate (and a fully
+        # empty join side would trip the Ray 2.49 join bug)
+        return new_keys.map_batches(
+            lambda b: b.append_column(
+                "is_duplicate", pa.array([False] * len(b), pa.bool_())
+            ),
+            batch_format="pyarrow",
+        )
+
+    joined = hash_join(
+        new_keys, old_keys, "dedup_key", ["_hit"], how="left",
+        num_buckets=num_buckets,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        hit = pc.fill_null(batch["_hit"], False)
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "dedup_key": batch["dedup_key"],
+                "is_duplicate": hit,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -434,3 +434,39 @@ def test_bloom_filter_is_fixed_size(ray_session):
         m_bits=1 << 10,
     )
     assert pos.max() < (1 << 10) and pos.min() >= 0
+
+
+def test_dedup_incremental_flags_cross_corpus_matches(ray_session):
+    import ray.data
+    from deepdoctection_ray.stages.dedup import dedup_incremental
+
+    old = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["alpha beta", "gamma delta", "epsilon"], pa.string()),
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": pa.array(
+                ["alpha beta", "zeta eta", "epsilon", "theta"], pa.string()
+            ),
+        }
+    )
+    out = (
+        dedup_incremental(
+            ray.data.from_arrow(new), ray.data.from_arrow(old), "text", "doc_id"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [10, 11, 12, 13]
+    assert list(out["is_duplicate"]) == [True, False, True, False]
+    # empty standing corpus: nothing flagged, join skipped
+    empty_old = ray.data.from_arrow(old.slice(0, 0))
+    out2 = dedup_incremental(
+        ray.data.from_arrow(new), empty_old, "text", "doc_id"
+    ).to_pandas()
+    assert not out2["is_duplicate"].any() and len(out2) == 4
