@@ -40,6 +40,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -232,7 +233,10 @@ def train_bpe(
     """
     wc = word_counts(ds, text_column, lowercase=lowercase)
     if min_count > 1:
-        wc = wc.filter(lambda r: r["n"] >= min_count)
+        wc = wc.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n"], min_count)),
+            batch_format="pyarrow",
+        )
     # deterministic cap: top max_words by (n desc, word asc)
     capped = wc.sort(["n", "word"], descending=[True, False]).limit(max_words)
     counts: dict[str, int] = {}
@@ -328,7 +332,10 @@ def train_bpe_rounds(
 
     wc = word_counts(ds, text_column, lowercase=lowercase)
     if min_count > 1:
-        wc = wc.filter(lambda r: r["n"] >= min_count)
+        wc = wc.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n"], min_count)),
+            batch_format="pyarrow",
+        )
 
     def init_syms(batch: pa.Table) -> pa.Table:
         words = batch["word"].to_pylist()

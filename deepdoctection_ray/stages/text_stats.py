@@ -2,16 +2,15 @@
 
 Vectorized with ``pyarrow.compute`` RE2 kernels wherever a kernel exists
 (token/punct counts run in C over the whole batch); the language-ID heuristic
-is a per-row loop over pre-compiled token sets, hosted in an actor so the
-tables compile once per worker.
+is one Arrow regex split + ``is_in`` membership + bincount segment sum per
+batch, hosted in an actor so the stopword value-set arrays build once per
+worker.
 
 DuckDB-oracle notes: duckdb's ``regexp_*`` is also RE2, so token and punct
 counts are bit-identical between the Ray stage and the SQL oracle.
 """
 
 from __future__ import annotations
-
-import re
 
 import numpy as np
 import pyarrow as pa
@@ -104,36 +103,47 @@ class LanguageId:
     The Ray analog of ``LanguageDetectionService`` (``pipe/language.py:34-134``)
     with the HF model swapped for a deterministic stopword scorer (no model
     weights in this environment). Ties break alphabetically — deterministic.
+
+    Fully vectorized: ONE Arrow regex split over the batch, ``pc.is_in``
+    membership against each language's stopword set over the flattened token
+    stream, and a per-row ``bincount`` segment sum. The per-language score is
+    the same IEEE ``hits / n_tokens`` float64 division the SQL oracle
+    performs, so the doubles stay bit-identical; ``np.argmax`` picks the
+    FIRST maximum, which over the alphabetically-sorted language axis is
+    exactly the oracle's strict-greater tie rule.
     """
 
     def __init__(self, text_column: str = "text") -> None:
         self._text_column = text_column
-        self._word_re = re.compile(r"[a-zA-Z]+")
-        self._tables = {lang: frozenset(words) for lang, words in STOPWORDS.items()}
+        self._langs = sorted(STOPWORDS)
+        self._sets = [pa.array(sorted(STOPWORDS[lang]), pa.string()) for lang in self._langs]
+        self._lang_lut = np.array(self._langs, dtype=object)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self._text_column].to_pylist()
-        langs: list[str] = []
-        scores: list[float] = []
-        for t in texts:
-            toks = [w.lower() for w in self._word_re.findall(t or "")]
-            if not toks:
-                langs.append("und")
-                scores.append(0.0)
-                continue
-            best_lang, best = "und", 0.0
-            for lang in sorted(self._tables):
-                hits = sum(1 for w in toks if w in self._tables[lang])
-                score = hits / len(toks)
-                if score > best:
-                    best_lang, best = lang, score
-            langs.append(best_lang if best > 0 else "und")
-            # unrounded: hits/len is the same IEEE division the SQL oracle
-            # performs, so the doubles are bit-identical without a rounding
-            # step (whose half-even vs half-away tie rule could diverge)
-            scores.append(best)
+        col = batch[self._text_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(batch)
+        # same token rule as the oracle: [a-z]+ runs of lower(text)
+        toks = pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(col, "")), "[^a-z]+")
+        raw_lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.flatten()
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), raw_lens)
+        # boundary empties from the split are not tokens; "" is never a
+        # stopword so only the denominator needs the mask
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n_toks = np.bincount(row_idx[nonempty], minlength=n).astype(np.float64)
+        denom = np.maximum(n_toks, 1.0)
+        scores = np.empty((len(self._langs), n), dtype=np.float64)
+        for i, value_set in enumerate(self._sets):
+            hit = pc.is_in(flat, value_set=value_set).to_numpy(zero_copy_only=False)
+            scores[i] = np.bincount(row_idx[hit], minlength=n) / denom
+        best_i = np.argmax(scores, axis=0)
+        best = scores[best_i, np.arange(n)]
+        langs = self._lang_lut[best_i]
+        langs[best <= 0.0] = "und"
         batch = batch.append_column("lang_pred", pa.array(langs, pa.string()))
-        batch = batch.append_column("lang_score", pa.array(scores, pa.float64()))
+        batch = batch.append_column("lang_score", pa.array(best, pa.float64()))
         return batch
 
 

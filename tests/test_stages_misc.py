@@ -507,3 +507,53 @@ def test_audio_features_rejects_non_wav(ray_session):
     stage = AudioFeatures()
     with pytest.raises(NotImplementedError, match="WAV/PCM decodes natively"):
         stage._decode(b"\xff\xfb\x90\x00 mp3-ish", {})
+
+
+def test_hash_rows_deterministic_and_content_only():
+    """The bucket hash must be stable across processes and depend only on
+    key CONTENT (never buffer position / chunking / pandas semantics) — the
+    co-location guarantee every bucketed operator rests on. The pinned
+    constants freeze the hash function itself: changing it silently would
+    reshuffle every bucketed exchange."""
+    from deepdoctection_ray.functions.bucketed import hash_rows, tag_buckets
+
+    t = pa.table({"k": pa.array(["hello"]), "i": pa.array([42])})
+    assert int(hash_rows(t, ["k", "i"])[0]) == 2982966337248567919
+
+    # equal content hashes equal regardless of chunk layout or slicing
+    base = pa.table({"k": pa.array(["abc", "abc", "xyz", ""]), "i": pa.array([1, 1, 2, 3])})
+    h = hash_rows(base, ["k", "i"])
+    assert h[0] == h[1] and len({int(x) for x in h[1:]}) == 3
+    chunked = pa.table(
+        {"k": pa.chunked_array([["abc"], ["abc", "xyz", ""]]), "i": pa.array([1, 1, 2, 3])}
+    )
+    assert (hash_rows(chunked, ["k", "i"]) == h).all()
+    sliced = pa.table(
+        {"k": base["k"].combine_chunks().slice(2, 2), "i": pa.array([2, 3])}
+    )
+    assert (hash_rows(sliced, ["k", "i"]) == h[2:]).all()
+
+    # nulls collide with each other, not with empty string / zero
+    nt = pa.table({"k": pa.array([None, None, ""], pa.string())})
+    hn = hash_rows(nt, ["k"])
+    assert hn[0] == hn[1] != hn[2]
+
+    # bucket ids cover the range roughly uniformly
+    big = pa.table({"k": pa.array([f"doc-{i*2654435761 % 10**9:x}" for i in range(20000)])})
+    counts = np.bincount(
+        tag_buckets(big, ["k"], 32)["__bucket"].to_numpy(), minlength=32
+    )
+    assert counts.min() > 0.7 * counts.mean()
+
+
+def test_auto_num_buckets_rule():
+    """Pin the sizing rule: clamp(bytes // 64 MiB, 16, 4096)."""
+    from deepdoctection_ray.functions.bucketed import auto_num_buckets
+
+    assert auto_num_buckets(0) == 16
+    assert auto_num_buckets(10 << 20) == 16  # small corpora floor
+    assert auto_num_buckets(64 << 20) == 16
+    assert auto_num_buckets((64 << 20) * 100) == 100
+    assert auto_num_buckets((64 << 20) * 4097) == 4096  # cap
+    assert auto_num_buckets(100 << 40) == 4096  # 100 TB saturates the cap
+    assert auto_num_buckets((64 << 20) * 100, lo=1, hi=32) == 32  # overrides
