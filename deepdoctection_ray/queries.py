@@ -1693,7 +1693,9 @@ def q_countmin_grams(sf_dir: str) -> pa.Table:
         return _empty_result(gram=pa.string(), est=pa.int64())
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
     cm = countmin_ngrams(docs, "text", k=3, depth=4, width=1 << 12)
-    probe_rows = docs.filter(lambda r: r["doc_id"] < 5).take_all()  # probe-sized
+    probe_rows = docs.map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], 5)), batch_format="pyarrow"
+    ).take_all()  # probe-sized
     probe = sorted({g for r in probe_rows for g in word_ngrams(r["text"] or "", 3)})
     ests = cm.estimate(np.asarray(probe, dtype=object))
     return pa.table(
@@ -1753,8 +1755,14 @@ def q_dedup_incremental(sf_dir: str) -> ray.data.Dataset:
         return ray.data.from_arrow(_empty_result(
             doc_id=pa.int64(), dedup_key=pa.string(), is_duplicate=pa.bool_()))
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    existing = docs.filter(lambda r: r["doc_id"] % 3 == 0)
-    new = docs.filter(lambda r: r["doc_id"] % 3 != 0)
+
+    def shard(batch: pa.Table, keep_existing: bool) -> pa.Table:
+        mod = np.mod(batch["doc_id"].to_numpy(zero_copy_only=False), 3)
+        mask = mod == 0 if keep_existing else mod != 0
+        return batch.filter(pa.array(mask))
+
+    existing = docs.map_batches(shard, batch_format="pyarrow", fn_kwargs={"keep_existing": True})
+    new = docs.map_batches(shard, batch_format="pyarrow", fn_kwargs={"keep_existing": False})
     return dedup_incremental(new, existing, "text", "doc_id")
 
 
@@ -1764,6 +1772,79 @@ SELECT n.doc_id, md5(n.text) AS dedup_key,
 FROM (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0) n
 LEFT JOIN (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 3 = 0) e
   ON md5(n.text) = e.k
+"""
+
+
+def q_dedup_incremental_minhash(sf_dir: str) -> ray.data.Dataset:
+    """NEAR-dup incremental ingestion: the new shard (doc_id % 3 ≠ 0) is
+    flagged against the standing corpus (doc_id % 3 = 0) at Jaccard ≥ 0.5 on
+    3-word shingles — band signatures of the standing corpus are the join
+    side (computed once, never re-banded per shard; never self-compared).
+    Same lossless banding+exact-verify design as q_dedup_minhash, so the
+    oracle is the brute-force cross-shard Jaccard truth."""
+    from .stages.dedup import dedup_incremental_minhash
+
+    if _empty(sf_dir, "documents"):
+        return ray.data.from_arrow(_empty_result(
+            doc_id=pa.int64(), is_near_duplicate=pa.bool_(),
+            n_matches=pa.int64(), max_jaccard=pa.float64()))
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def shard(batch: pa.Table, keep_existing: bool) -> pa.Table:
+        mod = np.mod(batch["doc_id"].to_numpy(zero_copy_only=False), 3)
+        mask = mod == 0 if keep_existing else mod != 0
+        return batch.filter(pa.array(mask))
+
+    existing = docs.map_batches(shard, batch_format="pyarrow", fn_kwargs={"keep_existing": True})
+    new = docs.map_batches(shard, batch_format="pyarrow", fn_kwargs={"keep_existing": False})
+    return dedup_incremental_minhash(
+        new, existing, "text", "doc_id", threshold=0.5, num_hashes=128, bands=64
+    )
+
+
+# cross-shard brute-force 3-word-shingle Jaccard truth at tau=0.5: every NEW
+# doc LEFT-joins its count/max of >=0.5 matches in the standing shard. The
+# banded-LSH path is lossless pruning at these parameters (128 hashes / 64
+# bands of width 2 -> collision prob 1-(1-s^2)^64, >0.999999 at s=0.5), and
+# exact verification removes every false positive, so equality is exact.
+Q_DEDUP_INCREMENTAL_MINHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 3 = 0 AS is_old,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, is_old,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' '))
+         END AS grams
+  FROM toks
+),
+dsh AS (SELECT doc_id, is_old, list_distinct(grams) AS g FROM sh),
+ex AS (SELECT doc_id, is_old, unnest(g) AS s FROM dsh),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+  FROM ex a JOIN ex b ON a.s = b.s AND NOT a.is_old AND b.is_old
+),
+prs AS (
+  SELECT c.new_id,
+         round(len(list_intersect(da.g, db.g))::DOUBLE
+               / (len(da.g) + len(db.g) - len(list_intersect(da.g, db.g))), 6) AS jaccard
+  FROM cand c
+  JOIN dsh da ON c.new_id = da.doc_id
+  JOIN dsh db ON c.old_id = db.doc_id
+  WHERE len(list_intersect(da.g, db.g))::DOUBLE
+        / (len(da.g) + len(db.g) - len(list_intersect(da.g, db.g))) >= 0.5
+),
+m AS (SELECT new_id, count(*) AS n_matches, max(jaccard) AS max_jaccard
+      FROM prs GROUP BY new_id)
+SELECT n.doc_id,
+       (m.n_matches IS NOT NULL) AS is_near_duplicate,
+       COALESCE(m.n_matches, 0) AS n_matches,
+       COALESCE(m.max_jaccard, 0.0) AS max_jaccard
+FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) n
+LEFT JOIN m ON n.doc_id = m.new_id
 """
 
 
@@ -3426,6 +3507,7 @@ def build_queries() -> dict:
         "q_countmin_grams": q_countmin_grams,
         "q_tfidf_terms": q_tfidf_terms,
         "q_dedup_incremental": q_dedup_incremental,
+        "q_dedup_incremental_minhash": q_dedup_incremental_minhash,
         "q_weighted_sample": q_weighted_sample,
         "q_normalize_text": q_normalize_text,
         # --- flagship pipelines ---
@@ -3559,6 +3641,7 @@ def build_oracle_sql() -> dict:
         "q_countmin_grams": Q_COUNTMIN_SQL,
         "q_tfidf_terms": Q_TFIDF_SQL,
         "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
+        "q_dedup_incremental_minhash": Q_DEDUP_INCREMENTAL_MINHASH_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
         "q_dedup_semantic": Q_DEDUP_SEMANTIC_SQL,

@@ -1230,3 +1230,152 @@ def dedup_incremental(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def dedup_incremental_minhash(
+    new: ray.data.Dataset,
+    existing: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    bands: int = 64,
+    k: int = 3,
+    seed: int = 7,
+    max_bucket: int = 64,
+) -> ray.data.Dataset:
+    """NEAR-duplicate incremental ingestion dedup: flag each NEW document
+    whose text is ≥ ``threshold`` Jaccard-similar (k-word shingles) to SOME
+    document of the EXISTING corpus — the growing-corpus companion of
+    :func:`dedup_incremental` (exact) and :func:`dedup_minhash` (batch).
+
+    Scale shape: the standing corpus is banded ONCE with the same
+    ``(num_hashes, bands, k, seed)`` signature parameters as the new shard —
+    at 100 TB those standing band rows are computed at ingest time and kept
+    as a table, so each arriving shard only signatures ITSELF and joins; the
+    standing corpus is never re-banded per shard and never compared against
+    itself. Candidates are cross-side only (a band bucket with no new doc or
+    no existing doc emits nothing), verified by exact Jaccard on the hashed
+    shingle sets (same verifier as :func:`dedup_minhash`, so the banding is
+    lossless pruning at these parameters, not an approximation).
+
+    Requires globally-unique ids across the two sides (true for any ingest
+    pipeline that assigns shard-scoped ids). Returns one row per NEW doc:
+    ``(id, is_near_duplicate, n_matches, max_jaccard)`` with ``max_jaccard``
+    the largest per-pair ROUNDED (6dp) Jaccard, 0.0 when no match.
+    """
+    import pandas as pd
+
+    from ..functions.bucketed import bucketed_map_groups
+    from ..functions.joins import drop_empty_blocks, hash_join
+
+    mh_kwargs = dict(
+        text_column=text_column, id_column=id_column, num_hashes=num_hashes,
+        bands=bands, k=k, seed=seed,
+    )
+
+    def tag_side(batch: pa.Table, side: int) -> pa.Table:
+        return batch.append_column("_side", pa.array(np.full(len(batch), side, np.int8)))
+
+    new_bands = new.map_batches(
+        MinHasher, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs=mh_kwargs,
+    ).map_batches(tag_side, batch_format="pyarrow", fn_kwargs={"side": 0})
+    old_bands = existing.map_batches(
+        MinHasher, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs=mh_kwargs,
+    ).map_batches(tag_side, batch_format="pyarrow", fn_kwargs={"side": 1})
+    banded = new_bands.union(old_bands)
+
+    def emit_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        # only band buckets containing BOTH sides can produce a pair
+        gb = g.groupby(["band", "band_key"], sort=False)
+        mixed = gb["_side"].transform("nunique") == 2
+        coll = g[mixed]
+        a_out, b_out = [], []
+        trunc_buckets = trunc_rows = 0
+        for _, sub in coll.groupby(["band", "band_key"], sort=False):
+            ns = np.unique(sub.loc[sub["_side"] == 0, id_column].to_numpy())
+            es = np.unique(sub.loc[sub["_side"] == 1, id_column].to_numpy())
+            if len(ns) > max_bucket or len(es) > max_bucket:
+                trunc_buckets += 1
+                trunc_rows += max(len(ns) - max_bucket, 0) + max(len(es) - max_bucket, 0)
+                ns, es = ns[:max_bucket], es[:max_bucket]
+            a_out.append(np.repeat(ns, len(es)))
+            b_out.append(np.tile(es, len(ns)))
+        if trunc_buckets:
+            _report_truncation("incremental_minhash", trunc_buckets, trunc_rows)
+        dtype = g[id_column].dtype
+        a = np.concatenate(a_out) if a_out else np.empty(0, dtype)
+        b = np.concatenate(b_out) if b_out else np.empty(0, dtype)
+        return pd.DataFrame(
+            {"id_a": pd.Series(a, dtype=dtype), "id_b": pd.Series(b, dtype=dtype)}
+        ).drop_duplicates()
+
+    pairs = _dedup_pair_rows(_grouped_collisions(banded, ["band", "band_key"], emit_bucket))
+
+    # verification shingles only the candidate docs of BOTH sides (semi-join
+    # against the union stream); ids are globally unique so the union is a
+    # plain id→text lookup table, never a self-comparison
+    corpus = new.select_columns([id_column, text_column]).union(
+        existing.select_columns([id_column, text_column])
+    )
+    verified = drop_empty_blocks(
+        _verify_pairs_exact(corpus, pairs, text_column, id_column, threshold, k),
+        anchor=pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+        ),
+    )
+
+    new_ids = new.select_columns([id_column])
+    no_match_schema = pa.schema(
+        [(id_column, pa.int64()), ("n_matches", pa.int64()), ("max_jaccard", pa.float64())]
+    )
+
+    def all_clean(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "is_near_duplicate": pa.array(np.zeros(n, bool)),
+                "n_matches": pa.array(np.zeros(n, np.int64)),
+                "max_jaccard": pa.array(np.zeros(n, np.float64)),
+            }
+        )
+
+    # verified is candidate-sized and just materialized by drop_empty_blocks;
+    # count() here is metadata. A fully-empty join side would trip the Ray
+    # 2.49 join bug — and the answer is statically "no duplicates anywhere"
+    if verified.count() == 0:
+        return new_ids.map_batches(all_clean, batch_format="pyarrow")
+
+    def agg_matches(g: pa.Table) -> pa.Table:
+        t = g.group_by("id_a").aggregate([("id_b", "count"), ("jaccard", "max")])
+        return pa.table(
+            {
+                id_column: t["id_a"],
+                "n_matches": pc.cast(t["id_b_count"], pa.int64()),
+                "max_jaccard": t["jaccard_max"],
+            }
+        )
+
+    matches = drop_empty_blocks(
+        bucketed_map_groups(verified, ["id_a"], agg_matches, num_buckets=16),
+        anchor=no_match_schema,
+    )
+    joined = hash_join(
+        new_ids, matches, id_column, ["n_matches", "max_jaccard"], how="left"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_m = pc.fill_null(batch["n_matches"], 0)
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "is_near_duplicate": pc.greater(n_m, 0),
+                "n_matches": n_m,
+                "max_jaccard": pc.fill_null(batch["max_jaccard"], 0.0),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -470,3 +470,55 @@ def test_dedup_incremental_flags_cross_corpus_matches(ray_session):
         ray.data.from_arrow(new), empty_old, "text", "doc_id"
     ).to_pandas()
     assert not out2["is_duplicate"].any() and len(out2) == 4
+
+
+def test_dedup_incremental_minhash_flags_near_dups(ray_session):
+    import ray.data
+    from deepdoctection_ray.stages.dedup import dedup_incremental_minhash
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")  # high-overlap shingle sets
+    old = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([base, "completely different words entirely", base], pa.string()),
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array([near, "nothing shared here at all", base], pa.string()),
+        }
+    )
+    out = (
+        dedup_incremental_minhash(
+            ray.data.from_arrow(new), ray.data.from_arrow(old), "text", "doc_id",
+            threshold=0.5, num_hashes=128, bands=64,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [10, 11, 12]
+    assert list(out["is_near_duplicate"]) == [True, False, True]
+    # doc 12 is byte-identical to old 0 AND old 2 -> 2 matches at jaccard 1.0
+    assert out.loc[2, "n_matches"] == 2 and out.loc[2, "max_jaccard"] == 1.0
+    # near-dup match strictly below 1.0 but >= threshold
+    assert 0.5 <= out.loc[0, "max_jaccard"] < 1.0
+    # the standing corpus's own duplicate pair (0,2) must NOT appear anywhere:
+    # output rows are new-shard rows only
+    assert set(out["doc_id"]) == {10, 11, 12}
+
+    # no cross-shard near-dups at all: the verified set is empty and the
+    # short-circuit path returns every new row clean
+    disjoint_old = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["utterly unrelated content"], pa.string()),
+        }
+    )
+    out2 = dedup_incremental_minhash(
+        ray.data.from_arrow(new), ray.data.from_arrow(disjoint_old), "text", "doc_id"
+    ).to_pandas()
+    assert len(out2) == 3 and not out2["is_near_duplicate"].any()
+    assert (out2["max_jaccard"] == 0.0).all()
