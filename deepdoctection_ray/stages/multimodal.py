@@ -122,12 +122,13 @@ class ImageDecoder:
 
 
 class AudioFeatures:
-    """Actor-pool audio feature stage: REAL decode for WAV/PCM payloads
-    (``kernels/wav.py`` — integer PCM 8/16/24/32-bit and float32, any channel
-    count), optional linear resample, then a deterministic per-clip feature
-    row (duration / RMS / peak / zero-crossing rate). Compressed audio
-    raises honestly; ``fake=True`` synthesizes samples from the payload bytes
-    for plumbing tests. The binary column never crosses this stage."""
+    """Actor-pool audio feature stage: REAL decode for WAV payloads
+    (``kernels/wav.py`` — integer PCM 8/16/24/32-bit, float32, G.711
+    µ-law/A-law and IMA ADPCM, any channel count), optional linear resample,
+    then a deterministic per-clip feature row (duration / RMS / peak /
+    zero-crossing rate). Perceptual codecs (MP3/AAC/OGG) raise honestly;
+    ``fake=True`` synthesizes samples from the payload bytes for plumbing
+    tests. The binary column never crosses this stage."""
 
     def __init__(self, fake: bool = False, resample_to: int | None = None) -> None:
         self._fake = fake

@@ -839,7 +839,13 @@ def make_media_audio_corpus(n_docs: int = 40, seed: int = 42) -> tuple[pa.Table,
     distributed AudioFeatures stage against them)."""
     import numpy as _np
 
-    from .kernels.wav import audio_features, decode_wav, encode_wav
+    from .kernels.wav import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+        encode_wav_g711,
+        encode_wav_ima_adpcm,
+    )
 
     rng = _np.random.RandomState(seed)
     ids, payloads = [], []
@@ -849,6 +855,7 @@ def make_media_audio_corpus(n_docs: int = 40, seed: int = 42) -> tuple[pa.Table,
         rate = int(rng.choice([8000, 16000, 22050]))
         bits = int(rng.choice([8, 16, 32]))
         channels = int(rng.choice([1, 2]))
+        codec = str(rng.choice(["pcm", "pcm", "ulaw", "alaw", "adpcm"]))
         n = int(rng.randint(rate // 4, rate))
         t = _np.arange(n) / rate
         freq = float(rng.uniform(80, 2000))
@@ -856,7 +863,14 @@ def make_media_audio_corpus(n_docs: int = 40, seed: int = 42) -> tuple[pa.Table,
         sig = amp * _np.sin(2 * _np.pi * freq * t)
         if channels == 2:
             sig = _np.stack([sig, amp * _np.cos(2 * _np.pi * freq * t)], axis=1)
-        payload = encode_wav(sig, rate, bits=bits)
+        if codec == "ulaw":
+            payload = encode_wav_g711(sig, rate, law="mu")
+        elif codec == "alaw":
+            payload = encode_wav_g711(sig, rate, law="a")
+        elif codec == "adpcm":
+            payload = encode_wav_ima_adpcm(sig, rate)
+        else:
+            payload = encode_wav(sig, rate, bits=bits)
         samples, r = decode_wav(payload)  # single-threaded golden
         f = audio_features(samples, r)
         ids.append(i)

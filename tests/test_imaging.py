@@ -531,3 +531,43 @@ def test_tiff_packbits_spec_bytes():
     enc = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
     want = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22") + b"\xaa" * 10
     assert _packbits_decode(enc) == want
+
+
+def test_wav_g711_and_adpcm_codecs():
+    """G.711 µ/A-law and IMA ADPCM decode paths: idempotent companding over
+    all 256 codes, container round-trips within codec tolerance, and the
+    WAV dispatcher picking the right format tag."""
+    import numpy as np
+
+    from deepdoctection_ray.kernels.wav import (
+        alaw_decode,
+        alaw_encode,
+        decode_wav,
+        encode_wav_g711,
+        encode_wav_ima_adpcm,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    for dec, enc in [(ulaw_decode, ulaw_encode), (alaw_decode, alaw_encode)]:
+        pcm = dec(codes)
+        assert (dec(enc(pcm)) == pcm).all()  # companding idempotence
+    # ITU anchors: quietest codes decode to ±0/±8, loudest to full scale
+    assert ulaw_decode(np.array([0xFF], np.uint8))[0] == 0
+    assert ulaw_decode(np.array([0x00], np.uint8))[0] == -32124
+    assert alaw_decode(np.array([0x55], np.uint8))[0] == -8
+    assert alaw_decode(np.array([0xD5], np.uint8))[0] == 8
+
+    rate = 8000
+    t = np.arange(4000) / rate
+    stereo = np.stack(
+        [0.6 * np.sin(2 * np.pi * 440 * t), 0.4 * np.cos(2 * np.pi * 220 * t)], axis=1
+    )
+    for law in ("mu", "a"):
+        x, r = decode_wav(encode_wav_g711(stereo, rate, law=law))
+        assert r == rate and x.shape == (4000, 2)
+        assert np.abs(x - stereo).max() < 0.02  # one companding step
+    x, r = decode_wav(encode_wav_ima_adpcm(stereo, rate, block_align=512))
+    assert r == rate and x.shape[1] == 2 and x.shape[0] >= 4000  # block padding
+    assert np.abs(x[:4000] - stereo).max() < 0.05  # adaptive-step tolerance
