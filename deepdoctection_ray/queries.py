@@ -1640,6 +1640,58 @@ FROM events
 """
 
 
+def q_sketch_quantiles(sf_dir: str) -> pa.Table:
+    """ONE-pass approximate quantiles via the mergeable KLL sketch
+    (stages/sketches.KLLSketch — deterministic alternating compaction with a
+    SELF-CERTIFIED worst-case rank-error bound that survives merges): one
+    fixed-size sketch per block, 128:1 tree combine, any quantile answered
+    without the exact path's per-round passes. Containment gate: a second
+    exact streaming pass computes each estimate's true rank interval and
+    checks it within the sketch's OWN err_bound certificate of the target
+    rank — when the (always-valid) guarantee holds, every row equals the
+    constant the SQL oracle emits."""
+    from .stages.sketches import kll_quantiles
+
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    if _empty(sf_dir, "events"):
+        return _empty_result(q=pa.float64(), within_bound=pa.bool_())
+    ev = _t(sf_dir, "events", columns=["value"])
+    t = kll_quantiles(ev, "value", qs, k=512)
+    ests = t["value"].to_numpy()
+    err = int(t["err_bound"][0].as_py())
+    n = int(t["n"][0].as_py())
+
+    def rank_partials(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        cols = {}
+        for i, e in enumerate(ests):
+            cols[f"lt_{i}"] = [int((v < e).sum())]
+            cols[f"le_{i}"] = [int((v <= e).sum())]
+        return pa.table(cols)
+
+    sums = ev.map_batches(rank_partials, batch_format="pyarrow", batch_size=None).sum(
+        [f"lt_{i}" for i in range(len(qs))] + [f"le_{i}" for i in range(len(qs))]
+    )
+    ok = []
+    for i, q in enumerate(qs):
+        target = max(int(np.ceil(q * n)), 1)
+        lo = int(sums[f"sum(lt_{i})"]) + 1  # rank interval the value occupies
+        hi = int(sums[f"sum(le_{i})"])
+        ok.append(max(lo - target, target - hi, 0) <= err)
+    return pa.table(
+        {"q": pa.array(qs, pa.float64()), "within_bound": pa.array(ok, pa.bool_())}
+    )
+
+
+Q_SKETCH_QUANTILES_SQL = """
+-- containment oracle for the approximate path: the engine checks each KLL
+-- estimate's exact rank interval against the sketch's own worst-case
+-- err_bound certificate; the guarantee holding means every row is TRUE
+SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS q, TRUE AS within_bound
+"""
+
+
 def q_grouped_quantiles(sf_dir: str) -> ray.data.Dataset:
     """EXACT per-key quantiles (quantile_disc rule) of events.value per
     event_type: per-batch (key, value) histogram partials shrink the
@@ -3508,6 +3560,7 @@ def build_queries() -> dict:
         "q_tfidf_terms": q_tfidf_terms,
         "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_incremental_minhash": q_dedup_incremental_minhash,
+        "q_sketch_quantiles": q_sketch_quantiles,
         "q_weighted_sample": q_weighted_sample,
         "q_normalize_text": q_normalize_text,
         # --- flagship pipelines ---
@@ -3642,6 +3695,7 @@ def build_oracle_sql() -> dict:
         "q_tfidf_terms": Q_TFIDF_SQL,
         "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
         "q_dedup_incremental_minhash": Q_DEDUP_INCREMENTAL_MINHASH_SQL,
+        "q_sketch_quantiles": Q_SKETCH_QUANTILES_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
         "q_dedup_semantic": Q_DEDUP_SEMANTIC_SQL,

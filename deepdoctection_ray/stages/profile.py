@@ -41,6 +41,8 @@ def profile_table(
     ds: ray.data.Dataset,
     columns: list[str] | None = None,
     num_buckets: int = 32,
+    sketch: bool = False,
+    sketch_k: int = 512,
 ) -> pa.Table:
     """Profile ``columns`` (default: all) of ``ds``.
 
@@ -49,6 +51,12 @@ def profile_table(
     injective, so SQL ``CAST(... AS VARCHAR)`` reproduces them), ``mean``
     NULL for non-numeric columns, distinct counts excluding nulls (SQL
     ``count(DISTINCT ...)`` semantics).
+
+    ``sketch=True`` additionally carries ONE KLL quantile sketch per numeric
+    column through the SAME partials pass (a fixed-size binary per batch,
+    merged on the driver) and appends ``p50_est`` / ``p50_err_bound``
+    columns — the 100-TB profiler shape, where the exact iterative-histogram
+    quantile (``exact_quantiles``) would cost extra full passes per column.
     """
     schema = ds.schema()
     types = dict(zip(schema.names, schema.types))
@@ -67,6 +75,14 @@ def profile_table(
                 out[f"sum__{c}"] = pa.array(
                     [s.as_py() if s.is_valid else 0], pa.float64()
                 )
+                if sketch:
+                    from .sketches import KLLSketch
+
+                    sk = KLLSketch(sketch_k)
+                    sk.update(
+                        pc.drop_null(col).to_numpy(zero_copy_only=False).astype(np.float64)
+                    )
+                    out[f"sk__{c}"] = pa.array([sk.to_bytes()], pa.binary())
         return pa.table(out)
 
     stats = ds.map_batches(partials, batch_format="pyarrow", batch_size=None)
@@ -110,14 +126,29 @@ def profile_table(
             mean_o.append(round(sum(r[f"sum__{c}"] for r in srows) / (n_rows - nn), 6))
         else:
             mean_o.append(None)
-    return pa.table(
-        {
-            "col_name": pa.array(names, pa.string()),
-            "n_rows": pa.array([n_rows] * len(cols), pa.int64()),
-            "n_nulls": pa.array(nulls_o, pa.int64()),
-            "n_distinct": pa.array(dist_o, pa.int64()),
-            "min_s": pa.array(min_o, pa.string()),
-            "max_s": pa.array(max_o, pa.string()),
-            "mean": pa.array(mean_o, pa.float64()),
-        }
-    )
+    out_cols = {
+        "col_name": pa.array(names, pa.string()),
+        "n_rows": pa.array([n_rows] * len(cols), pa.int64()),
+        "n_nulls": pa.array(nulls_o, pa.int64()),
+        "n_distinct": pa.array(dist_o, pa.int64()),
+        "min_s": pa.array(min_o, pa.string()),
+        "max_s": pa.array(max_o, pa.string()),
+        "mean": pa.array(mean_o, pa.float64()),
+    }
+    if sketch:
+        from .sketches import KLLSketch
+
+        p50, errs = [], []
+        for c in cols:
+            if _is_numeric(types[c]) and n_rows - nulls_o[names.index(c)] > 0:
+                sk = KLLSketch(sketch_k)
+                for r in srows:
+                    sk.merge(KLLSketch.from_bytes(r[f"sk__{c}"]))
+                p50.append(sk.quantile(0.5))
+                errs.append(sk.err_bound)
+            else:
+                p50.append(None)
+                errs.append(None)
+        out_cols["p50_est"] = pa.array(p50, pa.float64())
+        out_cols["p50_err_bound"] = pa.array(errs, pa.int64())
+    return pa.table(out_cols)

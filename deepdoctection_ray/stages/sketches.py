@@ -241,3 +241,173 @@ def countmin_ngrams(
     for r in rows:
         cm.merge(CountMinSketch.from_bytes(r["sk"], depth, width))
     return cm
+
+
+# --------------------------------------------------------------- KLL quantiles
+
+
+class KLLSketch:
+    """Mergeable quantile sketch (Karnin-Lang-Liberty 2016 compactor stack,
+    DETERMINISTIC alternating compaction) with a SELF-CERTIFIED rank-error
+    bound.
+
+    Level ``i`` holds values of weight ``2^i``; a full level sorts and keeps
+    every other element (parity alternates per level, so consecutive
+    compactions cancel bias), pushing the survivors up one level. Collapsing
+    a weight-``w`` buffer shifts any rank by at most ``w``, so the sketch
+    tracks ``err_bound = Σ 2^i`` over every compaction it ever performed —
+    a worst-case (input-order- and adversary-independent) guarantee that
+    travels through ``merge``. One sketch is O(k·log(n/k)) float64s however
+    large the stream; only sketches cross the exchange.
+
+    vs :func:`..functions.aggregates.exact_quantiles`: exact selection needs
+    ``max_rounds`` streaming passes; the sketch answers ANY quantile after
+    ONE pass within ±err_bound ranks — the profiler's 100-TB path.
+    """
+
+    def __init__(self, k: int = 512) -> None:
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self.parity: list[int] = [0]
+        self.n = 0
+        self.err_bound = 0
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if self.levels[i].shape[0] <= self.k:
+                i += 1
+                continue
+            arr = np.sort(self.levels[i])
+            if arr.shape[0] % 2:
+                # compact an even count; one element stays behind unperturbed
+                self.levels[i], arr = arr[-1:], arr[:-1]
+            else:
+                self.levels[i] = np.empty(0, np.float64)
+            kept = arr[self.parity[i] :: 2]
+            self.parity[i] ^= 1
+            self.err_bound += 1 << i
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+                self.parity.append(0)
+            self.levels[i + 1] = np.concatenate([self.levels[i + 1], kept])
+            i += 1
+
+    def update(self, values: np.ndarray) -> None:
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        # feed level 0 in ≤k-sized slices so buffers never balloon past 2k
+        for s in range(0, v.shape[0], self.k):
+            self.levels[0] = np.concatenate([self.levels[0], v[s : s + self.k]])
+            self.n += int(min(self.k, v.shape[0] - s))
+            self._compress()
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        for i, lv in enumerate(other.levels):
+            while i >= len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+                self.parity.append(0)
+            self.levels[i] = np.concatenate([self.levels[i], lv])
+        self.n += other.n
+        self.err_bound += other.err_bound
+        self._compress()
+        return self
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate([lv for lv in self.levels]) if self.n else np.empty(0)
+        wts = (
+            np.concatenate(
+                [np.full(lv.shape[0], 1 << i, np.int64) for i, lv in enumerate(self.levels)]
+            )
+            if self.n
+            else np.empty(0, np.int64)
+        )
+        order = np.argsort(vals, kind="stable")
+        return vals[order], wts[order]
+
+    def quantile(self, q: float) -> float:
+        """Smallest retained value whose estimated rank reaches ceil(q·n)
+        (the ``quantile_disc`` rule applied to the weighted sample)."""
+        if not self.n:
+            return float("nan")
+        vals, wts = self._weighted()
+        target = max(int(np.ceil(q * self.n)), 1)
+        pos = int(np.searchsorted(np.cumsum(wts), target))
+        return float(vals[min(pos, vals.shape[0] - 1)])
+
+    def rank(self, value: float) -> int:
+        """Estimated #elements ≤ value (within ±err_bound of the truth)."""
+        vals, wts = self._weighted()
+        return int(wts[: np.searchsorted(vals, value, side="right")].sum())
+
+    def to_bytes(self) -> bytes:
+        import struct as _struct
+
+        head = _struct.pack("<qqqq", self.k, self.n, self.err_bound, len(self.levels))
+        parts = [head, np.asarray(self.parity, np.int64).tobytes()]
+        for lv in self.levels:
+            parts.append(_struct.pack("<q", lv.shape[0]))
+            parts.append(lv.tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "KLLSketch":
+        import struct as _struct
+
+        k, n, err, nlev = _struct.unpack_from("<qqqq", blob, 0)
+        sk = cls(k)
+        sk.n, sk.err_bound = n, err
+        pos = 32
+        sk.parity = list(np.frombuffer(blob, np.int64, nlev, pos))
+        pos += 8 * nlev
+        sk.levels = []
+        for _ in range(nlev):
+            (cnt,) = _struct.unpack_from("<q", blob, pos)
+            pos += 8
+            sk.levels.append(np.frombuffer(blob, np.float64, cnt, pos).copy())
+            pos += 8 * cnt
+        return sk
+
+
+def kll_quantiles(
+    ds: "ray.data.Dataset",
+    column: str,
+    qs: "list[float]",
+    k: int = 512,
+    combine_fanin: int = 128,
+) -> pa.Table:
+    """ONE-pass distributed quantiles via per-block KLL sketches and a
+    tree combine (same 128:1 reduction shape as ``stages/pca.py``): each
+    block emits one serialized sketch row; rounds of ``map_batches`` merges
+    shrink the sketch table until the driver folds ≤``combine_fanin`` of
+    them. Returns ``pa.Table (q, value, err_bound, n)`` — ``err_bound`` is
+    the sketch's own worst-case rank-error certificate for this exact run.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = KLLSketch(k)
+        sk.update(batch[column].to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table({"sk": pa.array([sk.to_bytes()], pa.binary())})
+
+    def combine(batch: pa.Table) -> pa.Table:
+        sk = KLLSketch(k)
+        for blob in batch["sk"].to_pylist():
+            sk.merge(KLLSketch.from_bytes(blob))
+        return pa.table({"sk": pa.array([sk.to_bytes()], pa.binary())})
+
+    cur = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).materialize()
+    while cur.count() > combine_fanin:  # count() on materialized = metadata
+        cur = cur.map_batches(
+            combine, batch_format="pyarrow", batch_size=combine_fanin
+        ).materialize()
+    sk = KLLSketch(k)
+    for row in cur.take_all():
+        sk.merge(KLLSketch.from_bytes(row["sk"]))
+    return pa.table(
+        {
+            "q": pa.array([float(q) for q in qs], pa.float64()),
+            "value": pa.array([sk.quantile(q) for q in qs], pa.float64()),
+            "err_bound": pa.array([sk.err_bound] * len(qs), pa.int64()),
+            "n": pa.array([sk.n] * len(qs), pa.int64()),
+        }
+    )
