@@ -197,3 +197,155 @@ def detect_words_from_pixels(img: np.ndarray, dpi: int = 36) -> list[dict]:
         }
         for b in boxes_from_pixels(img)
     ]
+
+
+# ----------------------------------------------------- glyph atlas + toy OCR
+
+_ATLAS: "dict[str, np.ndarray] | None" = None
+
+
+def glyph_atlas() -> "dict[str, np.ndarray]":
+    """Deterministic injective 7×5 glyph atlas for printable ASCII.
+
+    Bitmaps are md5-derived patterns (not human letterforms — the point is a
+    self-consistent, copyright-free atlas the raster and the recognizer
+    share), with the outer rows/columns forced to carry ink so every glyph's
+    ink bounding box equals its cell exactly (the property the segmentation
+    step relies on), and a salt-retry loop enforcing pairwise distinctness.
+    The ``DoctrTextRecognizer`` analog's model weights, in effect
+    (``extern/doctrocr.py:254`` — the real recognizer is a CRNN; this is the
+    same contract with a template bank)."""
+    global _ATLAS
+    if _ATLAS is not None:
+        return _ATLAS
+    import hashlib
+
+    atlas: dict[str, np.ndarray] = {}
+    seen: set[bytes] = set()
+    for code in range(33, 127):
+        ch = chr(code)
+        for salt in range(64):
+            h = hashlib.md5(f"glyph:{ch}:{salt}".encode()).digest()
+            bits = np.unpackbits(np.frombuffer(h, np.uint8))[:35].reshape(7, 5).astype(bool)
+            bits[0, :] |= np.unpackbits(np.frombuffer(h[8:], np.uint8))[:5].astype(bool)
+            # force ink on every edge so the ink bbox == the glyph cell
+            bits[0, 0] = bits[0, 4] = bits[6, 0] = bits[6, 4] = True
+            key = np.packbits(bits).tobytes()
+            if key not in seen:
+                seen.add(key)
+                atlas[ch] = bits
+                break
+        else:  # pragma: no cover - 64 salts never all collide over 94 chars
+            raise RuntimeError("glyph atlas collision")
+    _ATLAS = atlas
+    return atlas
+
+
+def _glyph_cell_geometry(px0: int, py0: int, px1: int, py1: int, n_chars: int):
+    """Shared fitting rule: integer cell pitch and glyph scale for ``n_chars``
+    glyphs inside a word's pixel rect. Returns ``(pitch, sx, sy)``;
+    ``sx < 1`` or ``sy < 1`` means the rect is too small to carry glyphs."""
+    if n_chars <= 0:
+        return 0, 0, 0
+    pitch = (px1 - px0) // n_chars
+    sx = (pitch - 1) // 5  # ≥1 blank column between consecutive glyphs
+    sy = (py1 - py0) // 7
+    return pitch, sx, sy
+
+
+def render_words_glyphs(
+    words: list[dict], width: float, height: float, dpi: int = 144
+) -> np.ndarray:
+    """Glyph-level page raster: each word's characters stamp their atlas
+    bitmaps at integer scale on the word's cell grid (vs :func:`render_words`
+    which fills solid boxes — that path feeds the detector/deskew oracles and
+    stays untouched). Words whose rect can't fit scale-1 glyphs render
+    nothing, mirroring :func:`expected_ocr_text`."""
+    scale = dpi / 72.0
+    w_px = max(1, int(math.ceil(width * scale)))
+    h_px = max(1, int(math.ceil(height * scale)))
+    img = np.full((h_px, w_px), 255, dtype=np.uint8)
+    atlas = glyph_atlas()
+    for w in words:
+        text = str(w.get("text", ""))
+        px0, py0, px1, py1 = word_pixel_rect(
+            float(w["x0"]), float(w["top"]), float(w["x1"]), float(w["bottom"]), scale
+        )
+        pitch, sx, sy = _glyph_cell_geometry(px0, py0, px1, py1, len(text))
+        if sx < 1 or sy < 1:
+            continue
+        for i, ch in enumerate(text):
+            bm = atlas.get(ch)
+            if bm is None:
+                continue
+            big = np.kron(bm, np.ones((sy, sx), bool))
+            x = px0 + i * pitch
+            y = py0
+            if y + big.shape[0] > h_px or x + big.shape[1] > w_px or x < 0 or y < 0:
+                continue
+            region = img[y : y + big.shape[0], x : x + big.shape[1]]
+            region[big] = 0
+    return img
+
+
+def expected_ocr_text(words: list[dict], dpi: int = 144) -> str:
+    """Construction truth for :func:`ocr_words_from_pixels`: the words whose
+    rects carry scale-≥1 glyphs, with unknown-atlas chars dropped — computed
+    from geometry alone (never by running the recognizer), so oracle equality
+    pins the recognition itself, not just the plumbing."""
+    scale = dpi / 72.0
+    atlas = glyph_atlas()
+    out = []
+    for w in words:
+        text = str(w.get("text", ""))
+        px0, py0, px1, py1 = word_pixel_rect(
+            float(w["x0"]), float(w["top"]), float(w["x1"]), float(w["bottom"]), scale
+        )
+        _, sx, sy = _glyph_cell_geometry(px0, py0, px1, py1, len(text))
+        if sx < 1 or sy < 1:
+            continue
+        kept = "".join(ch for ch in text if ch in atlas)
+        if kept:
+            out.append(kept)
+    return " ".join(out)
+
+
+def ocr_words_from_pixels(
+    img: np.ndarray, rects: list[tuple[float, float, float, float]], dpi: int = 144
+) -> list[str]:
+    """Recognize each word crop of a glyph raster: column-projection
+    segmentation inside the rect finds ink runs (one per glyph — atlas edges
+    are always inked), each run's exact integer downsample goes through
+    nearest-template (Hamming) matching against the atlas. Pixels in, text
+    out — the ``DoctrTextRecognizer`` crop→text contract."""
+    scale = dpi / 72.0
+    atlas = glyph_atlas()
+    chars = sorted(atlas)  # deterministic tie order
+    bank = np.stack([atlas[c] for c in chars]).reshape(len(chars), -1)
+    texts: list[str] = []
+    for x0, top, x1, bottom in rects:
+        px0, py0, px1, py1 = word_pixel_rect(x0, top, x1, bottom, scale)
+        px0c, py0c = max(0, px0), max(0, py0)
+        crop = img[py0c : min(py1, img.shape[0]), px0c : min(px1, img.shape[1])]
+        ink = crop < 128
+        col_has = ink.any(axis=0)
+        # ink-column runs = glyph cells
+        edges = np.flatnonzero(np.diff(np.concatenate([[0], col_has.view(np.int8), [0]])))
+        word = []
+        for rs, re_ in zip(edges[0::2], edges[1::2]):
+            run_w = int(re_ - rs)
+            rows = np.flatnonzero(ink[:, rs:re_].any(axis=1))
+            if not rows.size or run_w % 5:
+                word.append("?")
+                continue
+            run_h = int(rows[-1] - rows[0] + 1)
+            if run_h % 7:
+                word.append("?")
+                continue
+            sx, sy = run_w // 5, run_h // 7
+            cell = ink[rows[0] : rows[0] + 7 * sy, rs : rs + 5 * sx]
+            small = cell.reshape(7, sy, 5, sx).max(axis=(1, 3))
+            d = (bank != small.reshape(-1)).sum(axis=1)
+            word.append(chars[int(np.argmin(d))])
+        texts.append("".join(word))
+    return texts

@@ -2851,6 +2851,59 @@ FROM read_parquet('/tmp/ddray_fixtures/pdf_truth.parquet')
 """
 
 
+def q_ocr_from_pixels(sf_dir: str) -> ray.data.Dataset:
+    """Pixels→TEXT end to end — the ``DoctrTextRecognizer`` semantic
+    (``extern/doctrocr.py:254``) closed with the repo's own deterministic
+    glyph atlas: PDF bytes → container parse → GLYPH-level raster
+    (kernels/raster.render_words_glyphs) → per-word crop → column-projection
+    segmentation → nearest-template recognition. The oracle is the fixture's
+    ground-truth page text (NOT a golden re-run of this code), so equality
+    pins that characters were actually recognized from ink, not carried as
+    metadata."""
+    import json as _json
+    import os as _os
+
+    from . import fixtures
+    from .kernels.raster import ocr_words_from_pixels, render_words_glyphs
+    from .sources import read_pdf
+
+    fixtures.ensure_fixtures()
+    pages = read_pdf(_os.path.join(fixtures.FIXTURE_DIR, "pdfs"))
+
+    def recognize(batch: pa.Table) -> pa.Table:
+        fns, pns, texts = [], [], []
+        for fn, pn, payload in zip(
+            batch["file_name"].to_pylist(),
+            batch["page_number"].to_pylist(),
+            batch["text"].to_pylist(),
+        ):
+            d = _json.loads(payload)
+            img = render_words_glyphs(
+                d["words"], d["page"]["width"], d["page"]["height"], dpi=144
+            )
+            rects = [(w["x0"], w["top"], w["x1"], w["bottom"]) for w in d["words"]]
+            fns.append(fn)
+            pns.append(pn)
+            texts.append(" ".join(ocr_words_from_pixels(img, rects, dpi=144)))
+        return pa.table(
+            {
+                "file_name": pa.array(fns, pa.string()),
+                "page_number": pa.array(pns, pa.int64()),
+                "ocr_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return pages.map_batches(recognize, batch_format="pyarrow", batch_size=64)
+
+
+Q_OCR_FROM_PIXELS_SQL = r"""
+-- ground truth, not a golden re-run: the recognized page text must equal
+-- the construction text verbatim (words space-joined in reading order)
+SELECT file_name, page_number, replace(text, chr(10), ' ') AS ocr_text
+FROM read_parquet('/tmp/ddray_fixtures/pdf_truth.parquet')
+"""
+
+
 def q_decode_images(sf_dir: str) -> ray.data.Dataset:
     """Multimodal image decode under the gate: a fixture of REAL encoded
     payloads cycling every native codec (BMP / PNG / GIF / LZW+PackBits TIFF /
@@ -3546,6 +3599,7 @@ def build_queries() -> dict:
         "q_knn_ivf": q_knn_ivf,
         "q_render_pdf": q_render_pdf,
         "q_detect_from_pixels": q_detect_from_pixels,
+        "q_ocr_from_pixels": q_ocr_from_pixels,
         "q_decode_images": q_decode_images,
         "q_audio_features": q_audio_features,
         "q_bpe_train": q_bpe_train,
@@ -3682,6 +3736,7 @@ def build_oracle_sql() -> dict:
         "q_read_pdf": Q_READ_PDF_SQL,
         "q_render_pdf": Q_RENDER_PDF_SQL,
         "q_detect_from_pixels": Q_DETECT_FROM_PIXELS_SQL,
+        "q_ocr_from_pixels": Q_OCR_FROM_PIXELS_SQL,
         "q_decode_images": Q_DECODE_IMAGES_SQL,
         "q_bpe_train": Q_BPE_TRAIN_SQL,
         "q_bpe_encode": Q_BPE_ENCODE_SQL,

@@ -583,3 +583,50 @@ def test_boxes_from_pixels_matches_flood_fill_fuzz():
         got = boxes_from_pixels(img)
         want = brute(img)
         assert got.shape == want.shape and (got == want).all(), t
+
+
+def test_glyph_ocr_recognizes_from_ink():
+    """Pixels→text: the template recognizer must recover the exact characters
+    from the glyph raster alone — including a corruption check proving it
+    reads INK, not metadata (flipping pixels changes the answer)."""
+    import numpy as np
+
+    from deepdoctection_ray.kernels.raster import (
+        expected_ocr_text,
+        glyph_atlas,
+        ocr_words_from_pixels,
+        render_words_glyphs,
+    )
+
+    atlas = glyph_atlas()
+    assert len(atlas) == 94
+    # injective and edge-inked (the segmentation invariants)
+    keys = {np.packbits(b).tobytes() for b in atlas.values()}
+    assert len(keys) == 94
+    for b in atlas.values():
+        assert b[0].any() and b[6].any() and b[:, 0].any() and b[:, 4].any()
+
+    words = [
+        {"text": "Merge!", "x0": 50.0, "top": 28.0, "x1": 86.0, "bottom": 40.0},
+        {"text": "sort42", "x0": 98.0, "top": 28.0, "x1": 134.0, "bottom": 40.0},
+        {"text": "a", "x0": 50.0, "top": 56.0, "x1": 56.0, "bottom": 68.0},
+    ]
+    img = render_words_glyphs(words, 600.0, 400.0, dpi=144)
+    rects = [(w["x0"], w["top"], w["x1"], w["bottom"]) for w in words]
+    got = ocr_words_from_pixels(img, rects, dpi=144)
+    assert got == ["Merge!", "sort42", "a"]
+    assert " ".join(got) == expected_ocr_text(words, dpi=144)
+
+    # whiting out one glyph's ink erases exactly that character
+    img2 = img.copy()
+    px0 = int(50.0 * 2)
+    img2[56:80, px0 : px0 + 12] = 255  # first cell of "Merge!" (line 1 rows only)
+    got2 = ocr_words_from_pixels(img2, rects, dpi=144)
+    assert got2[0] == "erge!" and got2[1:] == got[1:]
+
+    # a rect too small for scale-1 glyphs renders (and recognizes) nothing
+    tiny = [{"text": "word", "x0": 10.0, "top": 10.0, "x1": 12.0, "bottom": 12.0}]
+    t_img = render_words_glyphs(tiny, 100.0, 100.0, dpi=36)
+    assert (t_img == 255).all()
+    assert expected_ocr_text(tiny, dpi=36) == ""
+    assert ocr_words_from_pixels(t_img, [(10.0, 10.0, 12.0, 12.0)], dpi=36) == [""]
