@@ -124,12 +124,30 @@ class _ExtractAndWritePartitions:
     each is sliced out, sorted and written atomically.
     """
 
-    def __init__(self, output_dir: str, **extractor_kwargs) -> None:
+    def __init__(
+        self, output_dir: str, chaos_kill_once: str | None = None, **extractor_kwargs
+    ) -> None:
         self._out = output_dir
+        self._chaos = chaos_kill_once
         self._extract = TurnExtractor(keep_payload=False, **extractor_kwargs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import time
+
+        if self._chaos:
+            # fault-injection surface (chaos test): the FIRST actor to reach
+            # this point claims the sentinel atomically, then dies mid-task
+            # exactly the way a preempted/OOM-killed worker does. Ray retries
+            # the block on a fresh actor; the markers/idempotent-write path
+            # must absorb the crash with byte-identical output.
+            import os as _os
+
+            try:
+                fd = _os.open(self._chaos, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+                _os.close(fd)
+                _os._exit(1)
+            except FileExistsError:
+                pass
 
         summaries = []
         if batch.num_rows:
@@ -185,6 +203,7 @@ def run_extraction(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = None,
     salt_span: int | None = None,
+    chaos_kill_once: str | None = None,
 ) -> dict:
     """Checkpointed end-to-end run; returns a summary dict.
 
@@ -238,7 +257,7 @@ def run_extraction(
         _ExtractAndWritePartitions,
         batch_format="pyarrow",
         concurrency=concurrency,
-        fn_constructor_kwargs={"output_dir": output_dir},
+        fn_constructor_kwargs={"output_dir": output_dir, "chaos_kill_once": chaos_kill_once},
     )
     rows = summary.take_all()  # small: one row per partition
     return {
