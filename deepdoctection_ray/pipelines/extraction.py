@@ -20,6 +20,8 @@ the hash; P scales with the cluster (P ≈ 4-8x task slots).
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -198,7 +200,7 @@ class _ExtractAndWritePartitions:
 def run_extraction(
     input_path: str | list[str],
     output_dir: str,
-    num_partitions: int = 32,
+    num_partitions: int | None = 32,
     resume: bool = True,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = None,
@@ -219,7 +221,23 @@ def run_extraction(
 
     A rerun after failure skips partitions that already have a success marker
     (their input rows are dropped at the read stage, before any work).
+
+    ``num_partitions=None`` derives the count from the input's parquet bytes
+    via :func:`..functions.bucketed.auto_num_buckets` (~64 MiB of input per
+    partition, clamped to [16, 4096]) — deterministic for a given input, so
+    resume stays consistent across runs of the same corpus.
     """
+    if num_partitions is None:
+        import glob as _glob
+
+        from ..functions.bucketed import auto_num_buckets
+
+        paths = [input_path] if isinstance(input_path, str) else list(input_path)
+        total = 0
+        for p in paths:
+            files = _glob.glob(os.path.join(p, "*.parquet")) if os.path.isdir(p) else [p]
+            total += sum(os.path.getsize(f) for f in files if os.path.exists(f))
+        num_partitions = auto_num_buckets(total)
     if resume:
         done = completed_partitions(output_dir)
     else:

@@ -729,9 +729,22 @@ FROM documents
 """
 
 
+def _auto_buckets(sf_dir: str, name: str) -> int:
+    """Bucket count sized from the table's parquet bytes (O(1) stat; the
+    functions.bucketed.auto_num_buckets rule) — bucket assignment never
+    changes results, only partition granularity, so the oracles are
+    invariant to it."""
+    from .functions.bucketed import auto_num_buckets
+
+    try:
+        return auto_num_buckets(os.path.getsize(os.path.join(sf_dir, f"{name}.parquet")))
+    except OSError:
+        return 64
+
+
 def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
     docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
-    return dd.dedup_exact(docs, "text", "doc_id")
+    return dd.dedup_exact(docs, "text", "doc_id", num_buckets=_auto_buckets(sf_dir, "documents"))
 
 
 Q_DEDUP_EXACT_SQL = """

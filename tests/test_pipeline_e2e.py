@@ -170,3 +170,20 @@ def test_assemble_conversations(ray_session):
     assert out["a"]["conversation_text"] == "[user] first\n\n[assistant] second"
     assert out["a"]["n_turns"] == 2
     assert out["b"]["conversation_text"] == "[user] solo"
+
+
+def test_run_extraction_auto_partitions(ray_session, tmp_path):
+    """num_partitions=None derives the partition count from input bytes
+    (auto_num_buckets rule) — tiny fixture corpus floors at 16, and the run
+    completes with lineage for every derived partition."""
+    import os
+
+    from deepdoctection_ray import fixtures
+    from deepdoctection_ray.pipelines.extraction import run_extraction
+
+    fixtures.ensure_fixtures()
+    out = str(tmp_path / "auto")
+    s = run_extraction(fixtures.TRANSCRIPTS_DIR, out, num_partitions=None, resume=False)
+    assert s["partitions_written"] == 16  # floor of the auto rule
+    assert s["errors"] == 0
+    assert len([f for f in os.listdir(out) if f.startswith("_SUCCESS.")]) == 16
