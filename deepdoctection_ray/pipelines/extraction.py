@@ -87,26 +87,39 @@ def assemble_conversations(
     cols = ["conv_id", "turn_idx", "extracted_text"] + (["role"] if with_roles else [])
 
     def per_bucket(g: pa.Table) -> pa.Table:
-        import pandas as pd
+        import numpy as np
 
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], g.schema.field("conv_id").type),
+                    "n_turns": pa.array([], pa.int64()),
+                    "conversation_text": pa.array([], pa.string()),
+                }
+            )
         t = g.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-        texts = t["extracted_text"].to_pylist()
+        texts = pc.fill_null(pc.cast(t["extracted_text"], pa.string()), "").combine_chunks()
         if with_roles:
-            roles = t["role"].to_pylist()
-            parts = [f"[{r}] {x}" if x else f"[{r}]" for r, x in zip(roles, texts)]
+            # all in Arrow C: "[role] text", or bare "[role]" for empty turns
+            # (binary_join_element_wise's LAST argument is the separator)
+            roles = pc.cast(t["role"], pa.string())
+            bare = pc.binary_join_element_wise("[", roles, "]", "")
+            full = pc.binary_join_element_wise(bare, texts, " ")
+            parts = pc.if_else(pc.equal(texts, ""), bare, full).combine_chunks()
         else:
-            parts = [x or "" for x in texts]
-        df = pd.DataFrame({"conv_id": t["conv_id"].to_pylist(), "part": parts})
-        res = (
-            df.groupby("conv_id", sort=False)
-            .agg(n_turns=("part", "size"), conversation_text=("part", separator.join))
-            .reset_index()
-        )
+            parts = texts
+        # conversation boundaries of the SORTED bucket → one list per conv,
+        # joined by the separator in one C kernel (no per-group Python)
+        conv = t["conv_id"].combine_chunks()
+        codes = pc.dictionary_encode(conv).indices.to_numpy(zero_copy_only=False)
+        n = len(codes)
+        starts = np.concatenate([[0], np.nonzero(np.diff(codes))[0] + 1, [n]]).astype(np.int64)
+        lists = pa.ListArray.from_arrays(pa.array(starts, pa.int32()), parts)
         return pa.table(
             {
-                "conv_id": pa.array(res["conv_id"], g.schema.field("conv_id").type),
-                "n_turns": pa.array(res["n_turns"].to_numpy(), pa.int64()),
-                "conversation_text": pa.array(res["conversation_text"], pa.string()),
+                "conv_id": conv.take(pa.array(starts[:-1], pa.int64())),
+                "n_turns": pa.array(np.diff(starts), pa.int64()),
+                "conversation_text": pc.binary_join(lists, separator),
             }
         )
 
