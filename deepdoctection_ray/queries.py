@@ -1705,6 +1705,71 @@ SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS q, TRUE AS within_bound
 """
 
 
+def q_gopher_quality(sf_dir: str) -> ray.data.Dataset:
+    """Gopher repetition quality signals (Rae et al. 2021 §A1.1) per
+    document: duplicate-line instance/char fractions, top word-2-gram char
+    coverage, and the composite keep rule — one Arrow split + one vectorized
+    pandas groupby per batch (stages/text_stats.gopher_repetition)."""
+    if _empty(sf_dir, "documents"):
+        return ray.data.from_arrow(_empty_result(
+            doc_id=pa.int64(), dup_line_frac=pa.float64(),
+            dup_line_char_frac=pa.float64(), top_2gram_char_frac=pa.float64(),
+            gopher_keep=pa.bool_()))
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(ts.gopher_repetition, batch_format="pyarrow")
+
+
+Q_GOPHER_QUALITY_SQL = r"""
+-- same definitions rebuilt relationally: trimmed non-empty lines, duplicate
+-- = line occurring >1x in its doc (ALL instances counted), top 2-gram by
+-- (count desc, gram asc), char coverage over greatest(length(text),1)
+WITH lx AS (
+  SELECT doc_id, trim(l, chr(9) || chr(10) || chr(13) || chr(32) || chr(11) || chr(12)) AS line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+),
+lc AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS len
+  FROM lx WHERE line <> '' GROUP BY doc_id, line
+),
+lagg AS (
+  SELECT doc_id,
+         sum(c) AS total_lines,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+         sum(c * len) AS total_chars,
+         sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_chars
+  FROM lc GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t,
+         greatest(length(text), 1) AS n_chars
+  FROM documents
+),
+gx AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                                       i -> t[i] || ' ' || t[i+1])) AS g
+  FROM toks WHERE len(t) >= 2
+),
+gc AS (SELECT doc_id, g, count(*) AS c FROM gx GROUP BY doc_id, g),
+gtop AS (
+  SELECT doc_id, g, c FROM gc
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1
+),
+j AS (
+  SELECT d.doc_id,
+         round(COALESCE(la.dup_lines::DOUBLE / greatest(la.total_lines, 1), 0.0), 6) AS dup_line_frac,
+         round(COALESCE(la.dup_chars::DOUBLE / greatest(la.total_chars, 1), 0.0), 6) AS dup_line_char_frac,
+         round(COALESCE(gt.c * length(gt.g), 0)::DOUBLE / t.n_chars, 6) AS top_2gram_char_frac
+  FROM documents d
+  JOIN toks t ON d.doc_id = t.doc_id
+  LEFT JOIN lagg la ON d.doc_id = la.doc_id
+  LEFT JOIN gtop gt ON d.doc_id = gt.doc_id
+)
+SELECT doc_id, dup_line_frac, dup_line_char_frac, top_2gram_char_frac,
+       (dup_line_frac <= 0.3 AND top_2gram_char_frac <= 0.2) AS gopher_keep
+FROM j
+"""
+
+
 def q_grouped_quantiles(sf_dir: str) -> ray.data.Dataset:
     """EXACT per-key quantiles (quantile_disc rule) of events.value per
     event_type: per-batch (key, value) histogram partials shrink the
@@ -3628,6 +3693,7 @@ def build_queries() -> dict:
         "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_incremental_minhash": q_dedup_incremental_minhash,
         "q_sketch_quantiles": q_sketch_quantiles,
+        "q_gopher_quality": q_gopher_quality,
         "q_weighted_sample": q_weighted_sample,
         "q_normalize_text": q_normalize_text,
         # --- flagship pipelines ---
@@ -3764,6 +3830,7 @@ def build_oracle_sql() -> dict:
         "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
         "q_dedup_incremental_minhash": Q_DEDUP_INCREMENTAL_MINHASH_SQL,
         "q_sketch_quantiles": Q_SKETCH_QUANTILES_SQL,
+        "q_gopher_quality": Q_GOPHER_QUALITY_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
         "q_dedup_semantic": Q_DEDUP_SEMANTIC_SQL,

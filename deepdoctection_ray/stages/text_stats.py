@@ -554,3 +554,90 @@ def normalize_text(
         return batch.append_column(output_column, col)
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def gopher_repetition(batch: pa.Table, text_column: str = "text", id_column: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public rules)
+    — the quality-filter family the reference has no analog for but every
+    LLM-curation pipeline runs:
+
+    - ``dup_line_frac``: fraction of (trimmed, non-empty) line INSTANCES
+      whose line occurs more than once in the document;
+    - ``dup_line_char_frac``: fraction of those lines' characters;
+    - ``top_2gram_char_frac``: characters covered by the most frequent word
+      2-gram (count × gram length / document length), ties broken by the
+      lexicographically smallest gram;
+    - ``gopher_keep``: the composite keep rule (≤0.30 / ≤0.20 Gopher
+      thresholds).
+
+    One Arrow split + one vectorized pandas groupby per batch — no per-row
+    Python. All four columns rebuild exactly in SQL (the oracle).
+    """
+    import pandas as pd
+
+    from ..kernels.grams import explode_bigrams
+
+    col = batch[text_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n = len(batch)
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    denom_chars = np.maximum(n_chars, 1.0)
+
+    # --- duplicate lines (trimmed, non-empty) --------------------------------
+    lines = pc.split_pattern(col, "\n")
+    raw_lens = pc.list_value_length(lines).to_numpy().astype(np.int64)
+    flat = pc.utf8_trim_whitespace(lines.flatten())
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), raw_lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    ldf = pd.DataFrame(
+        {
+            "row": row_idx[keep],
+            "line": flat.filter(pa.array(keep)).to_pandas(),
+        }
+    )
+    ldf["len"] = ldf["line"].str.len()
+    dup_line_frac = np.zeros(n)
+    dup_line_char_frac = np.zeros(n)
+    if len(ldf):
+        cnt = ldf.groupby(["row", "line"], sort=False)["len"].transform("size")
+        dup = cnt > 1
+        tot = np.maximum(np.bincount(ldf["row"], minlength=n), 1)
+        tot_chars = np.maximum(np.bincount(ldf["row"], weights=ldf["len"], minlength=n), 1.0)
+        dup_line_frac = np.bincount(ldf.loc[dup, "row"], minlength=n) / tot
+        dup_line_char_frac = (
+            np.bincount(ldf.loc[dup, "row"], weights=ldf.loc[dup, "len"], minlength=n)
+            / tot_chars
+        )
+
+    # --- top word-2-gram coverage -------------------------------------------
+    g_row, _w1, grams = explode_bigrams(col)
+    top_frac = np.zeros(n)
+    if len(g_row):
+        gdf = pd.DataFrame({"row": g_row, "g": grams.to_pandas()})
+        gc = gdf.groupby(["row", "g"], sort=False).size().reset_index(name="c")
+        gc = gc.sort_values(["row", "c", "g"], ascending=[True, False, True])
+        top = gc.drop_duplicates("row", keep="first")
+        cover = top["c"].to_numpy() * top["g"].str.len().to_numpy()
+        top_frac[top["row"].to_numpy()] = cover / denom_chars[top["row"].to_numpy()]
+
+    def _round6(x: np.ndarray) -> np.ndarray:
+        # DuckDB's round() is half-AWAY-from-zero on x*1e6 doubles; numpy's
+        # is half-even — emulate DuckDB exactly (values are non-negative)
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    dup_line_frac = _round6(dup_line_frac)
+    dup_line_char_frac = _round6(dup_line_char_frac)
+    top_frac = _round6(top_frac)
+    return pa.table(
+        {
+            id_column: batch[id_column],
+            "dup_line_frac": pa.array(dup_line_frac, pa.float64()),
+            "dup_line_char_frac": pa.array(dup_line_char_frac, pa.float64()),
+            "top_2gram_char_frac": pa.array(top_frac, pa.float64()),
+            "gopher_keep": pa.array(
+                (dup_line_frac <= 0.3) & (top_frac <= 0.2), pa.bool_()
+            ),
+        }
+    )

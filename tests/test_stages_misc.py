@@ -557,3 +557,27 @@ def test_auto_num_buckets_rule():
     assert auto_num_buckets((64 << 20) * 4097) == 4096  # cap
     assert auto_num_buckets(100 << 40) == 4096  # 100 TB saturates the cap
     assert auto_num_buckets((64 << 20) * 100, lo=1, hi=32) == 32  # overrides
+
+
+def test_gopher_repetition_signals():
+    from deepdoctection_ray.stages.text_stats import gopher_repetition
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b\na b\nc d",          # 2/3 duplicate line instances
+                    "x y z",                   # clean
+                    "",                        # degenerate
+                    "one two one two one two", # dominated by one 2-gram
+                ]
+            ),
+        }
+    )
+    out = gopher_repetition(t).to_pydict()
+    assert out["dup_line_frac"] == [0.666667, 0.0, 0.0, 0.0]
+    assert out["dup_line_char_frac"] == [0.666667, 0.0, 0.0, 0.0]
+    # "one two" (7 chars) x3 / 23 chars
+    assert out["top_2gram_char_frac"][3] == 0.913043
+    assert out["gopher_keep"] == [False, False, True, False]
