@@ -14,7 +14,7 @@ directly. This module holds BMP + netpbm and the transform kernels;
   deps, ``utils/transform.py:145-200`` semantics).
 
 Encoders exist so fixtures are self-contained and round-trips are testable;
-what no pure-Python path can cover (progressive JPEG, JPEG-in-TIFF, video)
+what no pure-Python path can cover (progressive JPEG, video)
 raises honestly.
 """
 

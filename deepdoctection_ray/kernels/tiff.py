@@ -6,7 +6,8 @@ Closes another slice of the reference's cv2-backed decode surface
 schemes — LZW (Compression=5; the MSB-first EarlyChange dialect already
 proven by the PDF ``LZWDecode`` kernel), Adobe/ZIP Deflate (8 / 32946) and
 PackBits (32773), each per strip, plus the horizontal-differencing
-Predictor (tag 317). JPEG-in-TIFF raises :class:`ImageCodecError` honestly.
+Predictor (tag 317), and new-style JPEG-in-TIFF (Compression=7, with
+JPEGTables splicing) via the repo's own baseline JPEG codec.
 """
 
 from __future__ import annotations
@@ -123,10 +124,32 @@ def decode_tiff(data: bytes) -> np.ndarray:
         decoded = [zlib.decompress(s) for s in strips]
     elif comp == 32773:
         decoded = [_packbits_decode(s) for s in strips]
+    elif comp == 7:
+        # new-style JPEG-in-TIFF (TTN2): each strip is a JPEG stream, with
+        # shared DQT/DHT optionally factored into the JPEGTables tag (347) —
+        # an abbreviated tables stream (SOI..EOI) spliced in after each
+        # strip's SOI before handing to the repo's own baseline JPEG decoder
+        from .jpeg import decode_jpeg
+
+        tbl = _read_ifd_raw(data, endian, ifd_off, 347)
+        parts = []
+        for s in strips:
+            if s[:2] != b"\xff\xd8":
+                raise ImageCodecError("JPEG-in-TIFF strip without SOI")
+            if tbl is not None and len(tbl) >= 4:
+                s = b"\xff\xd8" + tbl[2:-2] + s[2:]
+            parts.append(np.atleast_3d(decode_jpeg(s)))
+        img = np.concatenate(parts, axis=0)
+        if img.shape[0] < h or img.shape[1] < w:
+            raise ImageCodecError("JPEG-in-TIFF strips smaller than the image")
+        img = img[:h, :w]
+        if samples == 1:
+            return img.reshape(h, w)
+        return img
     else:
         raise ImageCodecError(
-            f"unsupported TIFF Compression={comp} (1/5/8/32946/32773 decode "
-            "natively; JPEG-in-TIFF needs a codec lib)"
+            f"unsupported TIFF Compression={comp} (1/5/7/8/32946/32773 "
+            "decode natively)"
         )
     buf = b"".join(decoded)
     need = w * h * samples
@@ -142,7 +165,23 @@ def decode_tiff(data: bytes) -> np.ndarray:
     return img if samples == 3 else img.reshape(h, w)
 
 
-_COMP_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+_COMP_IDS = {"none": 1, "lzw": 5, "jpeg": 7, "deflate": 8, "packbits": 32773}
+
+
+def _read_ifd_raw(data: bytes, endian: str, ifd_off: int, want_tag: int) -> "bytes | None":
+    """Raw value bytes of an IFD tag (UNDEFINED/BYTE payloads like
+    JPEGTables, which the integer-oriented reader cannot carry)."""
+    (n_entries,) = struct.unpack_from(endian + "H", data, ifd_off)
+    for i in range(n_entries):
+        tag, typ, count = struct.unpack_from(endian + "HHI", data, ifd_off + 2 + 12 * i)
+        if tag != want_tag:
+            continue
+        if count <= 4:
+            pos = ifd_off + 2 + 12 * i + 8
+        else:
+            (pos,) = struct.unpack_from(endian + "I", data, ifd_off + 2 + 12 * i + 8)
+        return data[pos : pos + count]
+    return None
 
 
 def encode_tiff(
@@ -171,7 +210,11 @@ def encode_tiff(
             payload.astype(np.int16), axis=1, prepend=np.zeros((h, 1, samples), np.int16)
         ).astype(np.uint8)
     pixel_data = payload.tobytes()
-    if comp == 5:
+    if comp == 7:
+        from .jpeg import encode_jpeg
+
+        pixel_data = encode_jpeg(img, quality=95)
+    elif comp == 5:
         from .pdf import _lzw_encode
 
         pixel_data = _lzw_encode(pixel_data, early=1)

@@ -571,3 +571,68 @@ def test_wav_g711_and_adpcm_codecs():
     x, r = decode_wav(encode_wav_ima_adpcm(stereo, rate, block_align=512))
     assert r == rate and x.shape[1] == 2 and x.shape[0] >= 4000  # block padding
     assert np.abs(x[:4000] - stereo).max() < 0.05  # adaptive-step tolerance
+
+
+def test_jpeg_in_tiff_decode_and_jpegtables_splice():
+    """New-style JPEG-in-TIFF (Compression=7): self-contained strips decode
+    through the repo's baseline JPEG codec, and an abbreviated stream with
+    the DQT/DHT factored into the JPEGTables tag (347) splices back
+    correctly."""
+    import struct
+
+    import numpy as np
+
+    from deepdoctection_ray.kernels.jpeg import encode_jpeg
+    from deepdoctection_ray.kernels.tiff import decode_tiff, encode_tiff
+
+    x = np.linspace(0, 2 * np.pi, 64)
+    img = ((np.sin(x)[:, None] * np.cos(x)[None, :]) * 100 + 128).astype(np.uint8)
+
+    # self-contained strip (the encoder's own output)
+    out = decode_tiff(encode_tiff(img, compression="jpeg"))
+    assert out.shape == img.shape and np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+    # factor DQT/DHT into JPEGTables and hand-roll a TIFF carrying tag 347
+    blob = encode_jpeg(img, quality=95)
+    pos, tables, body = 2, b"", b""
+    while pos < len(blob):
+        assert blob[pos] == 0xFF
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            body += blob[pos : pos + 2]
+            break
+        (seg_len,) = struct.unpack_from(">H", blob, pos + 2)
+        seg = blob[pos : pos + 2 + seg_len]
+        if marker in (0xDB, 0xC4):  # DQT / DHT → tables stream
+            tables += seg
+        else:
+            body += seg
+        pos += 2 + seg_len
+        if marker == 0xDA:  # SOS: rest is entropy data until EOI
+            end = blob.rfind(b"\xff\xd9")
+            body += blob[pos : end + 2]
+            break
+    tables_stream = b"\xff\xd8" + tables + b"\xff\xd9"
+    strip = b"\xff\xd8" + body
+    h, w = img.shape
+    e = "<"
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 7),
+        (262, 3, 1, 1), (273, 4, 1, 8), (277, 3, 1, 1), (278, 4, 1, h),
+        (279, 4, 1, len(strip)),
+        (347, 7, len(tables_stream), 8 + len(strip)),
+    ]
+    ifd_off = 8 + len(strip) + len(tables_stream)
+    t = bytearray(b"II*\x00" + struct.pack(e + "I", ifd_off))
+    t += strip + tables_stream
+    t += struct.pack(e + "H", len(entries))
+    for tag, typ, count, value in sorted(entries):
+        if typ == 3 and count == 1:
+            vb = struct.pack(e + "HH", value, 0)
+        else:
+            vb = struct.pack(e + "I", value)
+        t += struct.pack(e + "HHI", tag, typ, count) + vb
+    t += struct.pack(e + "I", 0)
+    out2 = decode_tiff(bytes(t))
+    assert out2.shape == img.shape
+    assert np.abs(out2.astype(int) - img.astype(int)).max() <= 8
