@@ -14,7 +14,7 @@ directly. This module holds BMP + netpbm and the transform kernels;
   deps, ``utils/transform.py:145-200`` semantics).
 
 Encoders exist so fixtures are self-contained and round-trips are testable;
-what no pure-Python path can cover (progressive JPEG, video)
+what no pure-Python path can cover (arithmetic-coded JPEG, video)
 raises honestly.
 """
 
@@ -150,14 +150,14 @@ def decode_image(data: bytes) -> np.ndarray:
 
         return decode_gif(data)
     if mime == "image/jpeg":
-        # baseline sequential JPEG (kernels/jpeg.py); progressive raises
+        # sequential or progressive JPEG (kernels/jpeg.py)
         from .jpeg import decode_jpeg
 
         return decode_jpeg(data)
     raise ImageCodecError(
-        "unsupported image container (BMP / PNG / GIF / baseline JPEG / "
-        "uncompressed TIFF / binary PPM / PGM decode natively; progressive "
-        "JPEG and compressed TIFF need a codec lib)"
+        "unsupported image container (BMP / PNG / GIF / JPEG incl. "
+        "progressive / TIFF incl. LZW+Deflate+PackBits+JPEG / binary "
+        "PPM / PGM decode natively)"
     )
 
 

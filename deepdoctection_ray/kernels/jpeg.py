@@ -1,10 +1,12 @@
-"""Pure-Python/numpy baseline JPEG codec (ITU-T T.81 / JFIF, SOF0).
+"""Pure-Python/numpy JPEG codec (ITU-T T.81 / JFIF): baseline SOF0 and
+progressive SOF2.
 
-The last image-codec gap of the decode stage (the reference decodes via
-cv2, ``mapper/misc.py:41-107``): baseline sequential DCT with Huffman
+The image-codec gap of the decode stage (the reference decodes via cv2,
+``mapper/misc.py:41-107``): sequential and progressive DCT with Huffman
 entropy coding, 8-bit precision, greyscale or YCbCr with 4:4:4 / 4:2:2 /
-4:2:0 sampling, restart markers. Progressive (SOF2), arithmetic coding and
-12-bit precision raise :class:`ImageCodecError` honestly.
+4:2:0 sampling, restart markers, spectral selection + successive
+approximation with EOB runs. Arithmetic coding, lossless and 12-bit
+precision raise :class:`ImageCodecError` honestly.
 
 Independence of the tests from mirrored bugs (the LZW lesson): the IDCT is
 pinned against the direct T.81 double-sum formula, canonical Huffman code
@@ -288,10 +290,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": body[8 + 3 * i]}
                 )
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2: progressive DCT — dedicated multi-scan path
+            return _decode_progressive(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ImageCodecError(
                 f"unsupported JPEG coding process (SOF{marker - 0xC0}); "
-                "only baseline sequential is implemented"
+                "baseline sequential and progressive are implemented"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -560,5 +564,441 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False) -> 
                     )
     writer.flush()
     out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# -------------------------------------------------------- progressive decoder
+
+
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """Advance past entropy bytes/stuffing/restarts to the next real marker."""
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = data[pos + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            pos += 2
+            continue
+        if nxt == 0xFF:  # fill byte
+            pos += 1
+            continue
+        return pos
+    return len(data)
+
+
+def _decode_progressive(data: bytes) -> np.ndarray:
+    """Progressive JPEG (SOF2, T.81 §G): spectral selection + successive
+    approximation, Huffman entropy coding. Scans ACCUMULATE into one
+    coefficient array per component (zigzag index order); dequantize + IDCT
+    run once at EOI. DC scans may interleave components; AC scans are
+    single-component per the spec. EOB runs, point transforms and the
+    §G.1.2.3 AC-refinement correction-bit algorithm are all implemented."""
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    coefs: dict[int, np.ndarray] = {}
+    geom: dict[int, dict] = {}
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ImageCodecError("JPEG marker desync")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
+                bpos += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body, np.uint8, 64, bpos).astype(np.int64)
+                    bpos += 64
+                else:
+                    tbl = np.frombuffer(body, ">u2", 64, bpos).astype(np.int64)
+                    bpos += 128
+                q = np.zeros(64, np.int64)
+                q[ZIGZAG] = tbl
+                quant[tq] = q.reshape(8, 8)
+        elif marker == 0xC4:
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 0x0F
+                bits = list(body[bpos + 1 : bpos + 17])
+                n = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + n])
+                bpos += 17 + n
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_decode_table(bits, vals)
+        elif marker == 0xC2:
+            if body[0] != 8:
+                raise ImageCodecError(f"only 8-bit JPEG supported (got {body[0]})")
+            h, w = struct.unpack_from(">HH", body, 1)
+            comps = []
+            for i in range(body[5]):
+                cid = body[6 + 3 * i]
+                hv = body[7 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": body[8 + 3 * i]})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            frame = {"w": w, "h": h, "comps": comps, "hmax": hmax, "vmax": vmax,
+                     "mcux": mcux, "mcuy": mcuy}
+            for c in comps:
+                # full padded MCU grid; non-interleaved scans touch the
+                # unpadded prefix (ceil(comp_size/8)) only
+                gw, gh = mcux * c["h"], mcuy * c["v"]
+                nw = -(-(-(-w * c["h"] // hmax)) // 8)
+                nh = -(-(-(-h * c["v"] // vmax)) // 8)
+                coefs[c["id"]] = np.zeros((gh, gw, 64), np.int32)
+                geom[c["id"]] = {"c": c, "nw": nw, "nh": nh}
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:
+            if frame is None:
+                raise ImageCodecError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cid = body[1 + 2 * i]
+                tt = body[2 + 2 * i]
+                scan_comps.append((cid, tt >> 4, tt & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            reader = _BitReader(data, pos)
+            _prog_scan(reader, frame, scan_comps, ss, se, ah, al, coefs, geom,
+                       huff_dc, huff_ac, restart_interval)
+            pos = _skip_to_marker(data, reader.pos)
+        # APPn/COM skipped via seg_len
+    if frame is None:
+        raise ImageCodecError("JPEG missing SOF")
+    # dequantize + IDCT every block, then upsample/crop/convert as baseline
+    comps = frame["comps"]
+    w, h, hmax, vmax = frame["w"], frame["h"], frame["hmax"], frame["vmax"]
+    full = []
+    for c in comps:
+        arr = coefs[c["id"]]
+        gh, gw = arr.shape[:2]
+        q = quant[c["tq"]]
+        plane = np.empty((gh * 8, gw * 8), np.float64)
+        dq = np.zeros(64, np.float64)
+        for by in range(gh):
+            for bx in range(gw):
+                dq[ZIGZAG] = arr[by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    idct2(dq.reshape(8, 8) * q) + 128.0
+                )
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    if len(full) != 3:
+        raise ImageCodecError(f"unsupported JPEG component count {len(full)}")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _prog_scan(reader, frame, scan_comps, ss, se, ah, al, coefs, geom,
+               huff_dc, huff_ac, restart_interval) -> None:
+    """Decode one progressive scan into the coefficient accumulators."""
+    state = {"eobrun": 0}
+    pred = {cid: 0 for cid, _, _ in scan_comps}
+
+    if ss == 0:
+        if se != 0:
+            raise ImageCodecError("progressive DC scan with Se != 0")
+
+        def dc_block(cid, td, block):
+            if ah == 0:
+                s = reader.decode_symbol(huff_dc[td])
+                pred[cid] += _extend(reader.read_bits(s), s)
+                block[0] = pred[cid] << al
+            else:
+                if reader.read_bit():
+                    block[0] |= 1 << al
+
+        if len(scan_comps) > 1:  # interleaved DC over MCUs
+            mcux, mcuy = frame["mcux"], frame["mcuy"]
+            by_id = {c["id"]: c for c in frame["comps"]}
+            mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        reader.align_and_consume_restart()
+                        for k in pred:
+                            pred[k] = 0
+                    for cid, td, _ta in scan_comps:
+                        c = by_id[cid]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(cid, td, coefs[cid][my * c["v"] + by, mx * c["h"] + bx])
+                    mcu += 1
+            return
+        cid, td, _ta = scan_comps[0]
+        g = geom[cid]
+        mcu = 0
+        for by in range(g["nh"]):
+            for bx in range(g["nw"]):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    reader.align_and_consume_restart()
+                    pred[cid] = 0
+                dc_block(cid, td, coefs[cid][by, bx])
+                mcu += 1
+        return
+
+    if len(scan_comps) != 1:
+        raise ImageCodecError("progressive AC scan must be single-component")
+    cid, _td, ta = scan_comps[0]
+    atab = huff_ac[ta]
+    g = geom[cid]
+    p1, m1 = 1 << al, -(1 << al)
+
+    def ac_first(block) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode_symbol(atab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1 + (reader.read_bits(r) if r else 0)
+                return
+            k += r
+            if k > se:
+                raise ImageCodecError("JPEG AC run overflows the spectral band")
+            block[k] = _extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(block) -> None:
+        # T.81 §G.1.2.3 (the libjpeg correction-bit walk): advance over r
+        # zero-HISTORY positions, emitting one correction bit per nonzero
+        # history coefficient passed; EOB runs correct the rest of the band
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = reader.decode_symbol(atab)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r) - 1 + (reader.read_bits(r) if r else 0)
+                        break
+                else:
+                    if s != 1:
+                        raise ImageCodecError("invalid AC refinement magnitude")
+                    newval = p1 if reader.read_bit() else m1
+                while k <= se:
+                    if block[k] != 0:
+                        if reader.read_bit() and (block[k] & p1) == 0:
+                            block[k] += p1 if block[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    block[k] = newval
+                k += 1
+            else:
+                return
+        if state["eobrun"] > 0 or k <= se:
+            while k <= se:
+                if block[k] != 0:
+                    if reader.read_bit() and (block[k] & p1) == 0:
+                        block[k] += p1 if block[k] >= 0 else m1
+                k += 1
+            state["eobrun"] = max(state["eobrun"] - 1, 0)
+
+    step = ac_first if ah == 0 else ac_refine
+    mcu = 0
+    for by in range(g["nh"]):
+        for bx in range(g["nw"]):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.align_and_consume_restart()
+                state["eobrun"] = 0
+            step(coefs[cid][by, bx])
+            mcu += 1
+
+
+# -------------------------------------------------------- progressive encoder
+
+# the Annex-K AC tables carry no EOBn (r>0) symbols, so the progressive
+# writer uses one flat custom table: every symbol it can emit at 9 bits —
+# canonical, decodable by any reader, and it lets fixtures exercise real
+# multi-block EOB runs
+_PROG_AC_SYMBOLS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    | {r << 4 for r in range(15)}  # EOB0..EOB14
+    | {0xF0}
+)
+_PROG_AC_SPEC = ([0, 0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0],
+                 list(_PROG_AC_SYMBOLS))
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 [H, W] or [H, W, 3] → progressive JFIF (SOF2), 4:4:4.
+
+    Fixture-writer scan script exercising every decoder path: interleaved DC
+    first scan with successive approximation (Al=1), DC refinement scan,
+    then per-component spectral-selection AC scans over two bands with real
+    cross-block EOB runs. AC successive approximation is decoder-side only
+    (pinned by a hand-built stream in the tests)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    grey = img.ndim == 2
+    if not grey and (img.ndim != 3 or img.shape[2] != 3):
+        raise ImageCodecError(f"unsupported array shape {img.shape}")
+    h, w = img.shape[:2]
+    luma_q = _scaled_quant(STD_LUMA_QUANT, quality)
+    chroma_q = _scaled_quant(STD_CHROMA_QUANT, quality)
+    if grey:
+        planes = [img.astype(np.float64)]
+        quants = [luma_q]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        quants = [luma_q, chroma_q, chroma_q]
+    n_comp = len(planes)
+    mh, mw = -(-h // 8) * 8, -(-w // 8) * 8
+    nh, nw = mh // 8, mw // 8
+
+    # quantized zigzag coefficient blocks per component
+    coefs = []
+    for p, q in zip(planes, quants):
+        p = np.pad(p, ((0, mh - p.shape[0]), (0, mw - p.shape[1])), mode="edge")
+        arr = np.empty((nh, nw, 64), np.int64)
+        for by in range(nh):
+            for bx in range(nw):
+                c = np.round(dct2(p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) / q)
+                arr[by, bx] = c.reshape(-1)[ZIGZAG]
+        coefs.append(np.clip(arr, -1023, 1023))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid: int, tbl: np.ndarray) -> bytes:
+        return (b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+                + bytes(int(v) for v in tbl.reshape(-1)[ZIGZAG]))
+
+    out += dqt(0, luma_q)
+    if not grey:
+        out += dqt(1, chroma_q)
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for ci in range(n_comp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(tc: int, th: int, spec: tuple) -> bytes:
+        bits, vals = spec
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, STD_DC_LUMA) + dht(1, 0, _PROG_AC_SPEC)
+    if not grey:
+        out += dht(0, 1, STD_DC_CHROMA)
+    dc_codes = [build_huffman_codes(*STD_DC_LUMA)] + [
+        build_huffman_codes(*STD_DC_CHROMA)
+    ] * (n_comp - 1)
+    ac_codes = build_huffman_codes(*_PROG_AC_SPEC)
+
+    def sos(comp_specs: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # --- scan 1: interleaved DC first, Al=1 ---------------------------------
+    out += sos([(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(n_comp)], 0, 0, 0, 1)
+    wtr = _BitWriter()
+    preds = [0] * n_comp
+    for by in range(nh):
+        for bx in range(nw):
+            for ci in range(n_comp):
+                dc = int(coefs[ci][by, bx, 0]) >> 1  # DC point transform
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                s = _size_cat(diff)
+                code, length = dc_codes[ci][s]
+                wtr.write(code, length)
+                if s:
+                    wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    wtr.flush()
+    out += wtr.out
+
+    # --- scan 2: interleaved DC refinement, Ah=1 Al=0 ------------------------
+    out += sos([(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(n_comp)], 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for by in range(nh):
+        for bx in range(nw):
+            for ci in range(n_comp):
+                wtr.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+    wtr.flush()
+    out += wtr.out
+
+    # --- per component: AC spectral bands with cross-block EOB runs ----------
+    for ci in range(n_comp):
+        for ss_k, se_k in ((1, 5), (6, 63)):
+            out += sos([(ci + 1, 0, 0)], ss_k, se_k, 0, 0)
+            wtr = _BitWriter()
+            eobrun = 0
+
+            def flush_eob() -> None:
+                nonlocal eobrun
+                while eobrun > 0:
+                    r = min(eobrun.bit_length() - 1, 14)
+                    code, length = ac_codes[r << 4]
+                    wtr.write(code, length)
+                    if r:
+                        wtr.write(eobrun - (1 << r), r)
+                    eobrun -= (1 << r) + (eobrun - (1 << r))
+
+            for by in range(nh):
+                for bx in range(nw):
+                    band = coefs[ci][by, bx, ss_k : se_k + 1]
+                    nz = np.nonzero(band)[0]
+                    if nz.size == 0:
+                        eobrun += 1
+                        continue
+                    flush_eob()
+                    run = 0
+                    prev = -1
+                    for idx in nz:
+                        run = int(idx) - prev - 1
+                        prev = int(idx)
+                        while run > 15:
+                            code, length = ac_codes[0xF0]
+                            wtr.write(code, length)
+                            run -= 16
+                        v = int(band[idx])
+                        s = _size_cat(v)
+                        code, length = ac_codes[(run << 4) | s]
+                        wtr.write(code, length)
+                        wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    if int(nz[-1]) < se_k - ss_k:
+                        eobrun += 1  # trailing zeros: this block ends at EOB
+            flush_eob()
+            wtr.flush()
+            out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)

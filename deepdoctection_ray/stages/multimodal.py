@@ -12,7 +12,8 @@ and drops them around heavy stages (``maybe_load_image`` /
 
 Codec status: BMP, PNG, GIF, baseline JPEG, TIFF (uncompressed / LZW /
 Deflate / PackBits), PPM/PGM images and WAV-PCM audio all decode NATIVELY
-(pure numpy codecs under ``kernels/``, incl. JPEG-in-TIFF); progressive JPEG,
+(pure numpy codecs under ``kernels/``, incl. progressive JPEG and
+JPEG-in-TIFF);
 compressed audio (MP3/AAC) and video are not decodable without external
 libs and raise ``NotImplementedError`` unless ``fake=True`` (deterministic
 synthetic decode for plumbing tests). The Ray-side plumbing — schema, actor
@@ -57,7 +58,7 @@ class ImageDecoder:
 
     REAL decode path for BMP / PNG / GIF / baseline-JPEG / TIFF / binary
     PPM / PGM payloads (pure-numpy codecs under ``kernels/`` — no external
-    libraries). Codec-less formats (progressive JPEG) raise
+    libraries). Codec-less formats (arithmetic-coded JPEG, video) raise
     ``NotImplementedError`` naming the format; ``fake=True`` keeps the
     deterministic synthetic decode (payload bytes reshaped via the meta
     struct) for plumbing tests.

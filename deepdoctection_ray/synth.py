@@ -760,8 +760,8 @@ def make_media_image_corpus(n_docs: int = 60, seed: int = 42) -> tuple[pa.Table,
     """Deterministic encoded-image fixture + golden decode stats.
 
     Each row carries a real encoded payload cycling through every native
-    codec path (BMP, PNG × filter types, GIF, TIFF × compressions, PPM, and
-    one baseline-JPEG variant). The golden table holds the grayscale
+    codec path (BMP, PNG × filter types, GIF, TIFF × compressions, PPM,
+    baseline JPEG and progressive JPEG). The golden table holds the grayscale
     mean/std/pixel-count computed SINGLE-THREADED through the same
     decode→gray kernels at fixture time — the golden-output pattern
     (fixtures.py docstring): the oracle then checks that the distributed
@@ -772,7 +772,7 @@ def make_media_image_corpus(n_docs: int = 60, seed: int = 42) -> tuple[pa.Table,
 
     from .kernels.gif import encode_gif
     from .kernels.imaging import decode_image, encode_bmp, encode_ppm, to_grayscale
-    from .kernels.jpeg import encode_jpeg
+    from .kernels.jpeg import encode_jpeg, encode_jpeg_progressive
     from .kernels.png import encode_png
     from .kernels.tiff import encode_tiff
 
@@ -785,6 +785,7 @@ def make_media_image_corpus(n_docs: int = 60, seed: int = 42) -> tuple[pa.Table,
         ("tiff-packbits", lambda im: encode_tiff(im, compression="packbits")),
         ("ppm", lambda im: encode_ppm(im)),
         ("jpeg", lambda im: encode_jpeg(im, quality=92)),
+        ("jpeg-prog", lambda im: encode_jpeg_progressive(im, quality=92)),
     ]
     rng = _np.random.RandomState(seed)
     ids, payloads, mimes = [], [], []
@@ -795,7 +796,7 @@ def make_media_image_corpus(n_docs: int = 60, seed: int = 42) -> tuple[pa.Table,
         if name == "gif":
             pal = rng.randint(0, 256, (16, 3), dtype=_np.uint8)
             img = pal[rng.randint(0, 16, (h, w))]
-        elif name == "jpeg":
+        elif name.startswith("jpeg"):
             sm = rng.randint(0, 256, (h, w, 3)).astype(float)
             for _ in range(3):  # smooth so the lossy path stays tame
                 sm = (

@@ -274,7 +274,7 @@ def test_tiff_errors_and_dispatch():
     for i in range(n):
         pos = ifd_off + 2 + 12 * i
         if struct.unpack_from("<H", bad, pos)[0] == 259:
-            struct.pack_into("<H", bad, pos + 8, 7)
+            struct.pack_into("<H", bad, pos + 8, 4)  # CCITT T.6: unsupported
     with pytest.raises(ImageCodecError, match="unsupported TIFF Compression"):
         decode_tiff(bytes(bad))
 
@@ -490,18 +490,21 @@ def test_jpeg_roundtrips_and_dispatch():
     assert decode_image(data).shape == sm.shape
 
 
-def test_jpeg_progressive_rejected():
+def test_jpeg_arithmetic_and_lossless_rejected():
+    """Progressive (SOF2) decodes natively now; the still-unsupported coding
+    processes (lossless SOF3, arithmetic SOF9) raise honestly."""
     import struct
 
     import pytest
 
     from deepdoctection_ray.kernels.jpeg import ImageCodecError, decode_jpeg
 
-    data = bytearray(b"\xff\xd8")
-    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
-    data += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
-    with pytest.raises(ImageCodecError, match="baseline"):
-        decode_jpeg(bytes(data))
+    for marker in (b"\xff\xc3", b"\xff\xc9"):
+        data = bytearray(b"\xff\xd8")
+        sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        data += marker + struct.pack(">H", 2 + len(sof)) + sof
+        with pytest.raises(ImageCodecError, match="coding process"):
+            decode_jpeg(bytes(data))
 
 
 def test_tiff_compressed_variants_roundtrip():
@@ -636,3 +639,108 @@ def test_jpeg_in_tiff_decode_and_jpegtables_splice():
     out2 = decode_tiff(bytes(t))
     assert out2.shape == img.shape
     assert np.abs(out2.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_progressive_jpeg_matches_baseline_reconstruction():
+    """SOF2 scans must accumulate to the SAME quantized coefficients the
+    baseline stream carries — decoded images are bit-identical."""
+    import numpy as np
+
+    from deepdoctection_ray.kernels.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    x = np.linspace(0, 2 * np.pi, 40)
+    img = ((np.sin(x)[:, None] * np.cos(np.linspace(0, 3, 56))[None, :]) * 90 + 128).astype(
+        np.uint8
+    )
+    rgb = np.stack([img, img[::-1], 255 - img], axis=2)
+    rng = np.random.RandomState(1)
+    noisy = rng.randint(0, 256, (33, 41, 3)).astype(np.uint8)
+    for arr, q in [(img, 90), (rgb, 90), (noisy, 35), (np.full((64, 64), 130, np.uint8), 90)]:
+        base = decode_jpeg(encode_jpeg(arr, quality=q)).astype(int)
+        prog = decode_jpeg(encode_jpeg_progressive(arr, quality=q)).astype(int)
+        assert np.abs(prog - base).max() == 0
+
+
+def test_progressive_ac_refinement_hand_built_stream():
+    """§G.1.2.3 successive-approximation AC refinement, pinned by a
+    hand-assembled two-scan stream (first scan at Al=1, refinement at Al=0)
+    whose exact coefficient outcome is computed independently."""
+    import struct
+
+    import numpy as np
+
+    from deepdoctection_ray.kernels.jpeg import (
+        ZIGZAG,
+        _BitWriter,
+        _PROG_AC_SPEC,
+        STD_DC_LUMA,
+        build_huffman_codes,
+        decode_jpeg,
+        idct2,
+    )
+
+    # true zigzag coefficients for one 8x8 block: DC=10, AC k=1..5
+    true_ac = {1: 7, 3: -5, 4: 1, 5: 2}  # k=2 stays zero; k=4 newly ±1 at Al=0
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, spec in ((0, STD_DC_LUMA), (1, _PROG_AC_SPEC)):
+        bits, vals = spec
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    dc_codes = build_huffman_codes(*STD_DC_LUMA)
+    ac_codes = build_huffman_codes(*_PROG_AC_SPEC)
+
+    def sos(ss, se, ah, al):
+        body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # scan 1: DC, no successive approximation
+    out += sos(0, 0, 0, 0)
+    w = _BitWriter()
+    code, length = dc_codes[4]
+    w.write(code, length)
+    w.write(10, 4)  # diff = +10
+    w.flush()
+    out += w.out
+    # scan 2: AC first, band 1..5 at Al=1 → sends c // 2 (truncate toward 0)
+    out += sos(1, 5, 0, 1)
+    w = _BitWriter()
+    for run, v in ((0, 3), (1, -2), (1, 1)):  # k=1:3, k=3:-2, k=5:1
+        s = max(abs(v).bit_length(), 1)
+        code, length = ac_codes[(run << 4) | s]
+        w.write(code, length)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+    w.flush()
+    out += w.out
+    # scan 3: AC refinement band 1..5, Ah=1 Al=0 (libjpeg emission order:
+    # symbol, sign, then correction bits of nonzero-history coefs passed)
+    out += sos(1, 5, 1, 0)
+    w = _BitWriter()
+    code, length = ac_codes[(1 << 4) | 1]  # new ±1 at k=4 after r=1 zero-history (k=2)
+    w.write(code, length)
+    w.write(1, 1)  # sign: positive
+    w.write(1, 1)  # correction for k=1: |7| & 1
+    w.write(1, 1)  # correction for k=3: |-5| & 1
+    code, length = ac_codes[0x00]  # EOB, then remaining corrections
+    w.write(code, length)
+    w.write(0, 1)  # correction for k=5: |2| & 1
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    zz = np.zeros(64)
+    zz[0] = 10
+    for k, v in true_ac.items():
+        zz[k] = v
+    dq = np.zeros(64)
+    dq[ZIGZAG] = zz
+    want = np.clip(np.round(idct2(dq.reshape(8, 8)) + 128.0), 0, 255).astype(np.uint8)
+    assert got.shape == (8, 8)
+    assert (got == want).all()
