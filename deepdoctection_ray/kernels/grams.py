@@ -42,7 +42,12 @@ def split_tokens(text_col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
     if isinstance(text_col, pa.ChunkedArray):
         text_col = text_col.combine_chunks()
     text_col = pc.fill_null(text_col, "")
-    toks = pc.utf8_split_whitespace(text_col)
+    # MEASURED pyarrow 16.1 bug: utf8_split_whitespace sometimes leaves a
+    # value's TRAILING whitespace glued to its last piece ('ba\xa0', 'aa\n'),
+    # dependent on buffer state (flaky across processes — found by the
+    # hypothesis gram fuzz). Trimming first removes the trigger zone; the
+    # trim kernel itself is hammer-verified in tests/test_extract_kernels.py.
+    toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text_col))
     raw_lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
     flat = toks.flatten()
     mask = pc.not_equal(flat, "")

@@ -171,3 +171,34 @@ def test_batch_shingle_hashes_matches_scalar():
     for i, t in enumerate(texts):
         want = [int(v) for v in shingle_hashes(t, 3)]
         assert sorted(got.get(i, [])) == sorted(want), (i, t)
+
+
+def test_split_tokens_trailing_whitespace_arrow_bug_regression():
+    """MEASURED pyarrow 16.1 bug: utf8_split_whitespace can leave a value's
+    TRAILING whitespace glued to its last piece depending on buffer state
+    (flaky — found by the gram hypothesis fuzz at trial 5309 of a seeded
+    hammer). split_tokens trims first; this hammer (10k seeded batches over
+    an alphabet with tab/newline/NBSP) pins both the workaround and the
+    trim kernel's own agreement with Python str.strip()."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deepdoctection_ray.kernels.grams import split_tokens
+
+    rng = random.Random(0)
+    alpha = "ab \t\n\xa0"
+    for _ in range(10000):
+        texts = [
+            "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 30)))
+            for _ in range(rng.randrange(0, 20))
+        ]
+        col = pa.array(texts, pa.string())
+        flat, lens, offs = split_tokens(col)
+        toks = flat.to_pylist()
+        for i, t in enumerate(texts):
+            assert toks[offs[i] : offs[i + 1]] == t.split(), (i, repr(t))
+        trimmed = pc.utf8_trim_whitespace(col).to_pylist()
+        for t, tr in zip(texts, trimmed):
+            assert tr == t.strip(), (repr(t), repr(tr))
