@@ -2535,6 +2535,30 @@ FROM embeddings WHERE vec_id IN (0, 1, 2)
 """
 
 
+def q_knn_pq(sf_dir: str) -> ray.data.Dataset:
+    """Product-quantization ANN (Jégou et al. 2011) recall report: per-vector
+    m-byte codes, one [queries × m × codes] lookup table per batch (ADC — no
+    full-dim GEMM on the corpus side), exact cosine re-rank of the ADC top
+    oversample×k candidates only. Recall floored at 0.9 — the re-rank makes
+    misses structural (candidate truly absent), not rounding."""
+    if _empty(sf_dir, "embeddings"):
+        return ray.data.from_arrow(_empty_result(
+            query_id=pa.int64(), k=pa.int64(), hits_at_least=pa.int64()))
+    emb = _t(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    approx = sim.knn_pq(emb, query_ids=[0, 1, 2], k=10, m_subspaces=8, n_codes=16,
+                        oversample=8)
+    exact = sim.knn_brute(emb, query_ids=[0, 1, 2], k=10)
+    return sim.ann_recall_report(approx, exact, k=10, recall_bound=0.9)
+
+
+Q_KNN_PQ_SQL = """
+-- containment oracle: ADC candidates + exact re-rank must reach recall 0.9,
+-- i.e. every row equals ceil(0.9 * 10) = 9
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k, CAST(9 AS BIGINT) AS hits_at_least
+FROM embeddings WHERE vec_id IN (0, 1, 2)
+"""
+
+
 # ----------------------------------------------------------- extraction demo
 
 
@@ -3675,6 +3699,7 @@ def build_queries() -> dict:
         "q_heavy_ngrams": q_heavy_ngrams,
         "q_knn_lsh": q_knn_lsh,
         "q_knn_ivf": q_knn_ivf,
+        "q_knn_pq": q_knn_pq,
         "q_render_pdf": q_render_pdf,
         "q_detect_from_pixels": q_detect_from_pixels,
         "q_ocr_from_pixels": q_ocr_from_pixels,
@@ -3779,6 +3804,7 @@ def build_oracle_sql() -> dict:
         "q_knn_cosine": Q_KNN_SQL,
         "q_knn_lsh": _knn_lsh_sql(),
         "q_knn_ivf": Q_KNN_IVF_SQL,
+        "q_knn_pq": Q_KNN_PQ_SQL,
         "q_heavy_ngrams": Q_HEAVY_NGRAMS_SQL,
         "q_token_classes": Q_TOKEN_CLASSES_SQL,
         "q_lang_id": _lang_sql(),

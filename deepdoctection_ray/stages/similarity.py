@@ -522,3 +522,149 @@ def dedup_semantic(
         ds, embedding_column, id_column, threshold=threshold, **kwargs
     )
     return connected_components(pairs, "id_a", "id_b")
+
+
+# ------------------------------------------------------------------ PQ (ADC)
+
+
+def train_pq_codebooks(
+    ds: ray.data.Dataset,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    embedding_column: str = "embedding",
+    seed: int = 17,
+    lloyd_iters: int = 3,
+    dim: int | None = None,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): the unit-normalized
+    embedding splits into ``m_subspaces`` contiguous sub-vectors, each with
+    its own ``n_codes``-centroid k-means codebook. ALL subspaces train in the
+    SAME streaming pass per Lloyd iteration — one ``map_batches`` emits
+    per-(subspace, code) sum/count partials, the driver merges
+    ``m × n_codes × n_batches`` tiny rows, never the vectors. Deterministic
+    (seeded init, empty cells keep their centroid). Returns
+    ``[m, n_codes, dim/m]`` float64.
+    """
+    if dim is None:
+        first = ds.take(1)
+        if not first:
+            raise ValueError("train_pq_codebooks: empty dataset")
+        dim = len(first[0][embedding_column])
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
+    rng = np.random.RandomState(seed)
+    books = rng.standard_normal((m_subspaces, n_codes, sub)) * 0.1
+    for _ in range(lloyd_iters):
+        bks = books.copy()
+
+        def partials(batch: pa.Table) -> pa.Table:
+            emb = _unit(embedding_matrix(batch[embedding_column]))
+            subs, codes, sums_out, counts_out = [], [], [], []
+            for mi in range(m_subspaces):
+                x = emb[:, mi * sub : (mi + 1) * sub]
+                d = ((x[:, None, :] - bks[mi][None, :, :]) ** 2).sum(2)
+                assign = np.argmin(d, axis=1)
+                sums = np.zeros((n_codes, sub))
+                np.add.at(sums, assign, x)
+                counts = np.bincount(assign, minlength=n_codes)
+                keep = np.nonzero(counts)[0]
+                subs.extend([mi] * len(keep))
+                codes.extend(int(c) for c in keep)
+                sums_out.extend(sums[c].tobytes() for c in keep)
+                counts_out.extend(int(counts[c]) for c in keep)
+            return pa.table(
+                {
+                    "sub": pa.array(subs, pa.int32()),
+                    "code": pa.array(codes, pa.int32()),
+                    "vec_sum": pa.array(sums_out, pa.binary()),
+                    "count": pa.array(counts_out, pa.int64()),
+                }
+            )
+
+        rows = ds.map_batches(partials, batch_format="pyarrow").take_all()
+        sums = np.zeros((m_subspaces, n_codes, sub))
+        counts = np.zeros((m_subspaces, n_codes))
+        for r in rows:
+            sums[r["sub"], r["code"]] += np.frombuffer(r["vec_sum"], np.float64)
+            counts[r["sub"], r["code"]] += r["count"]
+        nonempty = counts > 0
+        books = books.copy()
+        books[nonempty] = sums[nonempty] / counts[nonempty][:, None]
+    return books
+
+
+def knn_pq(
+    ds: ray.data.Dataset,
+    query_ids: list,
+    k: int = 10,
+    embedding_column: str = "embedding",
+    id_column: str = "vec_id",
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    oversample: int = 8,
+    seed: int = 17,
+    lloyd_iters: int = 3,
+    query_vectors: dict | None = None,
+) -> ray.data.Dataset:
+    """PQ ANN with asymmetric-distance candidate generation + exact re-rank.
+
+    Scale shape: codes are ``m`` bytes per vector (a 32× memory cut at
+    dim=64 float32), the per-batch ADC score is ``m`` table lookups per
+    vector (one ``[n_queries, m, n_codes]`` LUT built ONCE per batch from
+    the broadcast query matrix — no full-dim GEMM on the corpus side), and
+    only the ADC top ``oversample×k`` candidates per query are re-ranked
+    with exact cosine. At 100 TB the codebooks are trained once on a sample
+    and shipped via ``ray.put``; here they train in-line (deterministic).
+    """
+    q_rows = _collect_queries(ds, query_ids, id_column, embedding_column, query_vectors)
+    if not q_rows:
+        return ray.data.from_arrow(_topk_table([], [], [], pa.int64(), pa.int64()))
+    qvecs = _unit(np.asarray([r[embedding_column] for r in q_rows], dtype=np.float64))
+    dim = qvecs.shape[1]
+    books = train_pq_codebooks(
+        ds, m_subspaces=m_subspaces, n_codes=n_codes,
+        embedding_column=embedding_column, seed=seed, lloyd_iters=lloyd_iters, dim=dim,
+    )
+    sub = dim // m_subspaces
+    # LUT[q, m, c] = q_sub · centroid — ADC approximates q·x by Σ_m LUT[q,m,code]
+    lut = np.einsum("qmd,mcd->qmc", qvecs.reshape(len(qvecs), m_subspaces, sub), books)
+    n_cand = oversample * k
+
+    def adc_candidates(batch: pa.Table) -> pa.Table:
+        emb = _unit(embedding_matrix(batch[embedding_column]))
+        n = emb.shape[0]
+        codes = np.empty((n, m_subspaces), np.int64)
+        for mi in range(m_subspaces):
+            x = emb[:, mi * sub : (mi + 1) * sub]
+            d = ((x[:, None, :] - books[mi][None, :, :]) ** 2).sum(2)
+            codes[:, mi] = np.argmin(d, axis=1)
+        # scores[q, n] = Σ_m lut[q, m, codes[n, m]]
+        scores = lut[:, np.arange(m_subspaces)[None, :], codes].sum(axis=2)
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        out_ids = []
+        for qi in range(scores.shape[0]):
+            top = np.argsort(-scores[qi], kind="stable")[:n_cand]
+            out_ids.append(ids[top])
+        uniq = np.unique(np.concatenate(out_ids))
+        return pa.table({id_column: pa.array(uniq)})
+
+    # candidate ids are (batches × queries × n_cand)-bounded — probe-sized;
+    # collect once and filter by broadcast membership (a join would have to
+    # carry the list<float> embedding as an Acero payload column, which
+    # Acero rejects — the documented landmine)
+    cand_rows = ds.select_columns([id_column, embedding_column]).map_batches(
+        adc_candidates, batch_format="pyarrow"
+    ).take_all()
+    cand_ids = np.unique(np.array([r[id_column] for r in cand_rows]))
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, cand_ids)))
+
+    filtered = ds.select_columns([id_column, embedding_column]).map_batches(
+        keep_candidates, batch_format="pyarrow"
+    )
+    # exact cosine re-rank over candidates only — lossiness lives solely in
+    # candidate SELECTION, never in the final ranking
+    return _brute_from_queries(filtered, q_rows, k, embedding_column, id_column)

@@ -522,3 +522,37 @@ def test_dedup_incremental_minhash_flags_near_dups(ray_session):
     ).to_pandas()
     assert len(out2) == 3 and not out2["is_near_duplicate"].any()
     assert (out2["max_jaccard"] == 0.0).all()
+
+
+def test_knn_pq_recall_with_rerank(ray_session):
+    """PQ ADC candidates + exact re-rank: high recall vs brute force on a
+    clustered corpus, deterministic across runs, and the codebook trainer's
+    partials reconstruct the same books regardless of partitioning."""
+    import numpy as np
+    import ray.data
+
+    from deepdoctection_ray.stages.similarity import knn_brute, knn_pq, train_pq_codebooks
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((6, 64))
+    vecs = np.concatenate(
+        [c + 0.15 * rng.standard_normal((80, 64)) for c in centers], axis=0
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(7)
+    exact = knn_brute(ds, [0, 100, 250], k=10).to_pandas()
+    approx = knn_pq(ds, [0, 100, 250], k=10, oversample=8).to_pandas()
+    for qid in (0, 100, 250):
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        assert len(e & a) >= 9, (qid, len(e & a))
+
+    # partition-count invariance of the trained codebooks (merge-exactness)
+    b1 = train_pq_codebooks(ds, dim=64)
+    b2 = train_pq_codebooks(ray.data.from_arrow(t).repartition(2), dim=64)
+    assert np.allclose(b1, b2, atol=1e-9)
