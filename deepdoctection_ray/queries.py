@@ -1905,6 +1905,59 @@ LEFT JOIN (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 3 = 0) e
 """
 
 
+def q_substring_dedup(sf_dir: str) -> ray.data.Dataset:
+    """ExactSubstr-style duplicated-SPAN removal (Lee et al. 2021): every
+    token whose 8-token window repeats anywhere in the corpus is cut from
+    the (whitespace-normalized) text. Window-hash reformulation of the
+    paper's suffix array — two streaming passes + bucketed reductions; only
+    int64 window keys cross the exchange."""
+    from .stages.dedup import remove_duplicate_substrings
+
+    if _empty(sf_dir, "documents"):
+        return ray.data.from_arrow(_empty_result(
+            doc_id=pa.int64(), clean_text=pa.string(), n_tokens_removed=pa.int64()))
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return remove_duplicate_substrings(docs, "text", "doc_id", window=8)
+
+
+Q_SUBSTRING_DEDUP_SQL = r"""
+-- relational rebuild of the same definition: 8-token windows, duplicated =
+-- appears >= 2x corpus-wide (incl. within one doc), covered token positions
+-- removed, survivors re-joined single-space in order
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+win AS (
+  SELECT doc_id, unnest(generate_series(1, len(t) - 7)) AS i, t
+  FROM toks WHERE len(t) >= 8
+),
+wg AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS g FROM win),
+dup AS (SELECT g FROM wg GROUP BY g HAVING count(*) >= 2),
+cover AS (
+  SELECT DISTINCT w.doc_id, unnest(generate_series(w.i, w.i + 7)) AS p
+  FROM wg w JOIN dup USING (g)
+),
+tok_rows AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t
+  FROM toks WHERE len(t) > 0
+),
+kept AS (
+  SELECT tr.doc_id, tr.p, tr.t[tr.p] AS tok
+  FROM tok_rows tr LEFT JOIN cover c ON tr.doc_id = c.doc_id AND tr.p = c.p
+  WHERE c.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text, count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT x.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(len(x.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM toks x LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_dedup_incremental_minhash(sf_dir: str) -> ray.data.Dataset:
     """NEAR-dup incremental ingestion: the new shard (doc_id % 3 ≠ 0) is
     flagged against the standing corpus (doc_id % 3 = 0) at Jaccard ≥ 0.5 on
@@ -3717,6 +3770,7 @@ def build_queries() -> dict:
         "q_tfidf_terms": q_tfidf_terms,
         "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_incremental_minhash": q_dedup_incremental_minhash,
+        "q_substring_dedup": q_substring_dedup,
         "q_sketch_quantiles": q_sketch_quantiles,
         "q_gopher_quality": q_gopher_quality,
         "q_weighted_sample": q_weighted_sample,
@@ -3855,6 +3909,7 @@ def build_oracle_sql() -> dict:
         "q_tfidf_terms": Q_TFIDF_SQL,
         "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
         "q_dedup_incremental_minhash": Q_DEDUP_INCREMENTAL_MINHASH_SQL,
+        "q_substring_dedup": Q_SUBSTRING_DEDUP_SQL,
         "q_sketch_quantiles": Q_SKETCH_QUANTILES_SQL,
         "q_gopher_quality": Q_GOPHER_QUALITY_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,

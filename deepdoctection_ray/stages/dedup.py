@@ -1379,3 +1379,178 @@ def dedup_incremental_minhash(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def remove_duplicate_substrings(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    window: int = 8,
+    min_count: int = 2,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every token
+    whose ``window``-token context window appears ≥ ``min_count`` times in
+    the WHOLE corpus (including within one document) is cut from the text.
+
+    Distributed shape — a practical window-hash reformulation of the paper's
+    suffix array, expressible as two streaming passes plus bucketed
+    reductions, with nothing corpus-sized on the driver:
+
+    1. one pass explodes overlapping windows to ``(key, 1)`` partials, where
+       ``key = stable_int(window_string)`` is evaluated once per DISTINCT
+       window per batch (dictionary-encoded) — window TEXT never crosses;
+    2. a bucketed grouped count keeps keys with total ≥ ``min_count``;
+    3. windows semi-join the duplicated key set (all flat int64 columns —
+       join-safe), and surviving ``(doc, start)`` pairs reduce per doc to a
+       packed positions blob (bucketed);
+    4. one left join back onto the corpus + a fully-vectorized rebuild: the
+       covered-token mask comes from one ``np.add.at`` difference array per
+       batch, kept tokens re-join through Arrow ``binary_join``.
+
+    Output: ``(id, clean_text, n_tokens_removed)`` where ``clean_text`` is
+    the WHITESPACE-NORMALIZED text (single-space joins — the paper operates
+    on token streams) with covered tokens removed. Documents shorter than
+    ``window`` tokens pass through normalized, never cut.
+    """
+    from ..functions.bucketed import bucketed_map_groups
+    from ..functions.joins import drop_empty_blocks, hash_join
+    from ..kernels.grams import split_tokens
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, lens, offs = split_tokens(batch[text_column])
+        n_win = np.maximum(lens - window + 1, 0)
+        starts = np.repeat(offs[:-1], n_win) + _win_ranges(n_win)
+        row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), n_win)
+        if starts.size == 0:
+            return pa.table(
+                {
+                    id_column: pa.array([], batch[id_column].type),
+                    "pos": pa.array([], pa.int64()),
+                    "wkey": pa.array([], pa.int64()),
+                }
+            )
+        lists = pa.ListArray.from_arrays(
+            pa.array(
+                np.concatenate([np.arange(starts.size) * window,
+                                [starts.size * window]]).astype(np.int64),
+                pa.int64(),
+            ),
+            flat.take(
+                pa.array(
+                    (starts[:, None] + np.arange(window)[None, :]).reshape(-1), pa.int64()
+                )
+            ),
+        )
+        wins = pc.binary_join(lists, " ")
+        enc = wins.dictionary_encode()
+        dvals = enc.dictionary.to_pylist()
+        dh = np.fromiter((stable_int(g) for g in dvals), np.int64, len(dvals))
+        keys = dh[enc.indices.to_numpy(zero_copy_only=False)] if len(dvals) else np.empty(0, np.int64)
+        pos = starts - np.repeat(offs[:-1], n_win)  # window start WITHIN its row
+        return pa.table(
+            {
+                id_column: pc.take(batch[id_column], pa.array(row_idx, pa.int64())),
+                "pos": pa.array(pos, pa.int64()),
+                "wkey": pa.array(keys, pa.int64()),
+            }
+        )
+
+    wins = ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+
+    # bucketed count of window keys → the duplicated-key table (flat int64)
+    def count_bucket(g: pa.Table) -> pa.Table:
+        t = g.group_by("wkey").aggregate([("wkey", "count")])
+        t = t.filter(pc.greater_equal(t["wkey_count"], min_count))
+        return pa.table({"wkey": t["wkey"], "_dup": pa.array([True] * len(t), pa.bool_())})
+
+    dup_keys = drop_empty_blocks(
+        bucketed_map_groups(
+            wins.select_columns(["wkey"]), ["wkey"], count_bucket, num_buckets
+        ),
+        anchor=pa.schema([("wkey", pa.int64()), ("_dup", pa.bool_())]),
+    )
+
+    def normalize_only(batch: pa.Table) -> pa.Table:
+        flat, lens, offs = split_tokens(batch[text_column])
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), flat)
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "clean_text": pc.binary_join(lists, " "),
+                "n_tokens_removed": pa.array(np.zeros(len(batch), np.int64)),
+            }
+        )
+
+    if dup_keys.count() == 0:
+        # nothing duplicated anywhere: normalization-only pass (and a fully
+        # empty join side would trip the Ray 2.49 join bug)
+        return ds.map_batches(normalize_only, batch_format="pyarrow")
+
+    dup_wins = hash_join(wins, dup_keys, "wkey", [], how="semi")
+
+    def pack_positions(g: pa.Table) -> pa.Table:
+        t = g.group_by(id_column).aggregate([("pos", "list")])
+        ids = t[id_column]
+        packed = [
+            np.sort(np.asarray(p, np.int64)).tobytes() for p in t["pos_list"].to_pylist()
+        ]
+        return pa.table({id_column: ids, "dup_pos": pa.array(packed, pa.binary())})
+
+    pos_tbl = drop_empty_blocks(
+        bucketed_map_groups(dup_wins, [id_column], pack_positions, num_buckets),
+        anchor=pa.schema([(id_column, pa.int64()), ("dup_pos", pa.binary())]),
+    )
+    joined = hash_join(
+        ds.select_columns([id_column, text_column]), pos_tbl, id_column, ["dup_pos"],
+        how="left",
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        flat, lens, offs = split_tokens(batch[text_column])
+        total = int(offs[-1])
+        # covered-token mask via a difference array: +1 at each dup window's
+        # start, -1 past its end, cumsum > 0 → covered
+        diff = np.zeros(total + 1, np.int64)
+        blobs = batch["dup_pos"].to_pylist()
+        removed = np.zeros(len(batch), np.int64)
+        for i, blob in enumerate(blobs):
+            if not blob:
+                continue
+            p = np.frombuffer(blob, np.int64) + offs[i]
+            diff[p] += 1
+            diff[np.minimum(p + window, offs[i + 1])] -= 1
+        covered = np.cumsum(diff[:-1]) > 0
+        if total:
+            # reduceat gotcha: a repeated index (zero-length row) yields the
+            # element AT the index, not 0 — masked right after
+            removed = np.add.reduceat(covered.astype(np.int64), offs[:-1])
+            removed[lens == 0] = 0
+        keep = ~covered
+        kept_counts = (
+            np.add.reduceat(keep.astype(np.int64), offs[:-1]) if total else np.zeros(len(batch), np.int64)
+        )
+        kept_counts[lens == 0] = 0
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(kept_counts)]), pa.int32()),
+            flat.filter(pa.array(keep)) if total else flat,
+        )
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "clean_text": pc.binary_join(lists, " "),
+                "n_tokens_removed": pa.array(removed, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(rebuild, batch_format="pyarrow", batch_size=None)
+
+
+def _win_ranges(counts: np.ndarray) -> np.ndarray:
+    """Concatenated ``arange(c)`` per count (same as ``grams._ranges``)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    return np.arange(total, dtype=np.int64) - starts

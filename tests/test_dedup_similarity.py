@@ -556,3 +556,67 @@ def test_knn_pq_recall_with_rerank(ray_session):
     b1 = train_pq_codebooks(ds, dim=64)
     b2 = train_pq_codebooks(ray.data.from_arrow(t).repartition(2), dim=64)
     assert np.allclose(b1, b2, atol=1e-9)
+
+
+def test_remove_duplicate_substrings_cuts_repeated_spans(ray_session):
+    import ray.data
+
+    from deepdoctection_ray.stages.dedup import remove_duplicate_substrings
+
+    boiler = "all rights reserved contact us terms of service apply here"  # 10 toks
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    f"alpha beta {boiler} gamma",
+                    f"delta {boiler} epsilon zeta",
+                    "totally unique words nothing repeated anywhere at all",
+                    "short doc",
+                ]
+            ),
+        }
+    )
+    out = (
+        remove_duplicate_substrings(
+            ray.data.from_arrow(docs), "text", "doc_id", window=8
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # the shared 10-token boilerplate is fully covered by repeated 8-windows
+    assert out.loc[0, "clean_text"] == "alpha beta gamma"
+    assert out.loc[0, "n_tokens_removed"] == 10
+    assert out.loc[1, "clean_text"] == "delta epsilon zeta"
+    assert out.loc[1, "n_tokens_removed"] == 10
+    # unique doc untouched (but whitespace-normalized), short doc passes through
+    assert out.loc[2, "n_tokens_removed"] == 0
+    assert out.loc[2, "clean_text"] == docs["text"][2].as_py()
+    assert out.loc[3, "clean_text"] == "short doc" and out.loc[3, "n_tokens_removed"] == 0
+
+    # WITHIN-document repetition counts too: one doc repeating its own span
+    self_rep = pa.table(
+        {
+            "doc_id": pa.array([7], pa.int64()),
+            "text": pa.array([f"{boiler} middle words {boiler}"]),
+        }
+    )
+    out2 = remove_duplicate_substrings(
+        ray.data.from_arrow(self_rep), "text", "doc_id", window=8
+    ).to_pandas()
+    assert out2.loc[0, "clean_text"] == "middle words"
+    assert out2.loc[0, "n_tokens_removed"] == 20
+
+    # no duplicates anywhere: the short-circuit normalization-only path
+    clean = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["only words here", "other   spaced\ttokens"]),
+        }
+    )
+    out3 = remove_duplicate_substrings(
+        ray.data.from_arrow(clean), "text", "doc_id", window=8
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out3["clean_text"]) == ["only words here", "other spaced tokens"]
+    assert (out3["n_tokens_removed"] == 0).all()
