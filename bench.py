@@ -49,6 +49,11 @@ QUERY_NAMES = [
     "q_ngram_lid",
     "q_nb_classify",
     "q_dedup_incremental",
+    "q_dedup_incremental_minhash",
+    "q_substring_dedup",
+    "q_gopher_quality",
+    "q_sketch_quantiles",
+    "q_knn_pq",
 ]
 
 

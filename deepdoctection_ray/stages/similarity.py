@@ -563,7 +563,9 @@ def train_pq_codebooks(
             subs, codes, sums_out, counts_out = [], [], [], []
             for mi in range(m_subspaces):
                 x = emb[:, mi * sub : (mi + 1) * sub]
-                d = ((x[:, None, :] - bks[mi][None, :, :]) ** 2).sum(2)
+                # argmin of ||x-c||^2 = argmin of -2 x·c + ||c||^2 (GEMM, no
+                # [n, codes, sub] intermediate)
+                d = -2.0 * (x @ bks[mi].T) + (bks[mi] ** 2).sum(1)[None, :]
                 assign = np.argmin(d, axis=1)
                 sums = np.zeros((n_codes, sub))
                 np.add.at(sums, assign, x)
@@ -637,7 +639,7 @@ def knn_pq(
         codes = np.empty((n, m_subspaces), np.int64)
         for mi in range(m_subspaces):
             x = emb[:, mi * sub : (mi + 1) * sub]
-            d = ((x[:, None, :] - books[mi][None, :, :]) ** 2).sum(2)
+            d = -2.0 * (x @ books[mi].T) + (books[mi] ** 2).sum(1)[None, :]
             codes[:, mi] = np.argmin(d, axis=1)
         # scores[q, n] = Σ_m lut[q, m, codes[n, m]]
         scores = lut[:, np.arange(m_subspaces)[None, :], codes].sum(axis=2)
