@@ -1905,6 +1905,41 @@ LEFT JOIN (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 3 = 0) e
 """
 
 
+def q_chunk_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Token-window chunking with overlap (stages/chunks.chunk_by_tokens):
+    64-token windows at stride 48 — the RAG/training splitter. Fully
+    vectorized explode (one Arrow split + numpy window index arithmetic +
+    one C binary_join)."""
+    from .stages.chunks import chunk_by_tokens
+
+    if _empty(sf_dir, "documents"):
+        return ray.data.from_arrow(_empty_result(
+            doc_id=pa.int64(), chunk_idx=pa.int64(),
+            chunk_text=pa.string(), n_tokens=pa.int64()))
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_by_tokens(docs, "text", "doc_id", max_tokens=64, overlap=16)
+
+
+Q_CHUNK_TOKENS_SQL = r"""
+-- same window rule relationally: stride 48, windows of <= 64 tokens,
+-- ceil(max(n - overlap, 1) / stride) chunks per non-empty doc
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+par AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+ch AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0, (greatest(n - 16, 1) + 47) // 48 - 1)) AS chunk_idx
+  FROM par
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(t[chunk_idx * 48 + 1 : least(chunk_idx * 48 + 64, n)], ' ') AS chunk_text,
+       CAST(least(n - chunk_idx * 48, 64) AS BIGINT) AS n_tokens
+FROM ch
+"""
+
+
 def q_substring_dedup(sf_dir: str) -> ray.data.Dataset:
     """ExactSubstr-style duplicated-SPAN removal (Lee et al. 2021): every
     token whose 8-token window repeats anywhere in the corpus is cut from
@@ -3771,6 +3806,7 @@ def build_queries() -> dict:
         "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_incremental_minhash": q_dedup_incremental_minhash,
         "q_substring_dedup": q_substring_dedup,
+        "q_chunk_tokens": q_chunk_tokens,
         "q_sketch_quantiles": q_sketch_quantiles,
         "q_gopher_quality": q_gopher_quality,
         "q_weighted_sample": q_weighted_sample,
@@ -3910,6 +3946,7 @@ def build_oracle_sql() -> dict:
         "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
         "q_dedup_incremental_minhash": Q_DEDUP_INCREMENTAL_MINHASH_SQL,
         "q_substring_dedup": Q_SUBSTRING_DEDUP_SQL,
+        "q_chunk_tokens": Q_CHUNK_TOKENS_SQL,
         "q_sketch_quantiles": Q_SKETCH_QUANTILES_SQL,
         "q_gopher_quality": Q_GOPHER_QUALITY_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,

@@ -59,3 +59,69 @@ def explode_chunks(
         return pa.table(cols)
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def chunk_by_tokens(
+    ds: "ray.data.Dataset",
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    max_tokens: int = 64,
+    overlap: int = 16,
+) -> "ray.data.Dataset":
+    """Token-window chunking with overlap — the fixed-context splitter a
+    RAG index / training tokenizer runs before embedding or packing.
+
+    Windows start every ``max_tokens - overlap`` tokens (stride), each
+    carrying ``max_tokens`` tokens (the last one whatever remains); a
+    document emits ``ceil(max(n - overlap, 1) / stride)`` chunks, and an
+    empty document emits nothing. Fully vectorized: one Arrow split, numpy
+    window-index arithmetic over the flat token buffer, one C ``binary_join``
+    — the explode never leaves Arrow. Output: ``(id, chunk_idx, chunk_text,
+    n_tokens)``, whitespace-normalized like every token-stream operator.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..kernels.grams import split_tokens
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, lens, offs = split_tokens(batch[text_column])
+        n_chunks = np.where(lens > 0, (np.maximum(lens - overlap, 1) + stride - 1) // stride, 0)
+        row_idx = np.repeat(np.arange(len(lens), dtype=np.int64), n_chunks)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    id_column: pa.array([], batch[id_column].type),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        starts_in_row = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        ) * stride
+        chunk_lens = np.minimum(np.repeat(lens, n_chunks) - starts_in_row, max_tokens)
+        starts = np.repeat(offs[:-1], n_chunks) + starts_in_row
+        take = np.repeat(starts, chunk_lens) + (
+            np.arange(int(chunk_lens.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(chunk_lens) - chunk_lens, chunk_lens)
+        )
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(chunk_lens)]), pa.int32()),
+            flat.take(pa.array(take, pa.int64())),
+        )
+        return pa.table(
+            {
+                id_column: pc.take(batch[id_column], pa.array(row_idx, pa.int64())),
+                "chunk_idx": pa.array(starts_in_row // stride, pa.int64()),
+                "chunk_text": pc.binary_join(lists, " "),
+                "n_tokens": pa.array(chunk_lens, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=None)

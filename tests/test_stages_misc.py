@@ -581,3 +581,33 @@ def test_gopher_repetition_signals():
     # "one two" (7 chars) x3 / 23 chars
     assert out["top_2gram_char_frac"][3] == 0.913043
     assert out["gopher_keep"] == [False, False, True, False]
+
+
+def test_chunk_by_tokens_windows(ray_session):
+    import ray.data
+
+    from deepdoctection_ray.stages.chunks import chunk_by_tokens
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b c d e f g h i j", "a  b", ""]),
+        }
+    )
+    out = (
+        chunk_by_tokens(ray.data.from_arrow(t), "text", "doc_id", max_tokens=4, overlap=1)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    # stride 3: windows at 0/3/6, last takes the remainder
+    assert list(out["chunk_text"]) == ["a b c d", "d e f g", "g h i j", "a b"]
+    assert list(out["n_tokens"]) == [4, 4, 4, 2]
+    assert list(out["doc_id"]) == [0, 0, 0, 1]  # empty doc emits nothing
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert out.loc[0, "chunk_text"].split()[-1] == out.loc[1, "chunk_text"].split()[0]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_by_tokens(ray.data.from_arrow(t), max_tokens=4, overlap=4)
