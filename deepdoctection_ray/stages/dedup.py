@@ -1232,6 +1232,29 @@ def dedup_incremental(
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def band_signatures(
+    ds: ray.data.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 64,
+    k: int = 3,
+    seed: int = 7,
+) -> ray.data.Dataset:
+    """Standing-corpus MinHash band rows ``(band, band_key, id)`` — the table
+    a growing-corpus pipeline computes once at ingest and STORES, so each
+    arriving shard only signatures itself (pass the result to
+    :func:`dedup_incremental_minhash` as ``existing_bands=``; write it with
+    ``.write_parquet`` and read it back on later shards)."""
+    return ds.map_batches(
+        MinHasher, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs=dict(
+            text_column=text_column, id_column=id_column, num_hashes=num_hashes,
+            bands=bands, k=k, seed=seed,
+        ),
+    )
+
+
 def dedup_incremental_minhash(
     new: ray.data.Dataset,
     existing: ray.data.Dataset,
@@ -1243,6 +1266,7 @@ def dedup_incremental_minhash(
     k: int = 3,
     seed: int = 7,
     max_bucket: int = 64,
+    existing_bands: "ray.data.Dataset | None" = None,
 ) -> ray.data.Dataset:
     """NEAR-duplicate incremental ingestion dedup: flag each NEW document
     whose text is ≥ ``threshold`` Jaccard-similar (k-word shingles) to SOME
@@ -1281,10 +1305,18 @@ def dedup_incremental_minhash(
         MinHasher, batch_format="pyarrow", concurrency=(1, 4),
         fn_constructor_kwargs=mh_kwargs,
     ).map_batches(tag_side, batch_format="pyarrow", fn_kwargs={"side": 0})
-    old_bands = existing.map_batches(
-        MinHasher, batch_format="pyarrow", concurrency=(1, 4),
-        fn_constructor_kwargs=mh_kwargs,
-    ).map_batches(tag_side, batch_format="pyarrow", fn_kwargs={"side": 1})
+    # the stored-signatures path: when the caller supplies the standing
+    # corpus's band table (band_signatures written at ingest time), the
+    # standing TEXT is only touched for candidate verification — the shard
+    # never re-bands the corpus
+    if existing_bands is None:
+        existing_bands = existing.map_batches(
+            MinHasher, batch_format="pyarrow", concurrency=(1, 4),
+            fn_constructor_kwargs=mh_kwargs,
+        )
+    old_bands = existing_bands.map_batches(
+        tag_side, batch_format="pyarrow", fn_kwargs={"side": 1}
+    )
     banded = new_bands.union(old_bands)
 
     def emit_bucket(g: "pd.DataFrame") -> "pd.DataFrame":

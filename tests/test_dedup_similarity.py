@@ -620,3 +620,41 @@ def test_remove_duplicate_substrings_cuts_repeated_spans(ray_session):
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert list(out3["clean_text"]) == ["only words here", "other spaced tokens"]
     assert (out3["n_tokens_removed"] == 0).all()
+
+
+def test_dedup_incremental_minhash_stored_bands_path(ray_session):
+    """The growing-corpus shape made literal: standing band signatures are
+    computed ONCE (band_signatures), round-tripped through parquet, and the
+    shard run with existing_bands= produces the identical flags."""
+    import ray.data
+
+    from deepdoctection_ray.stages.dedup import band_signatures, dedup_incremental_minhash
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    old = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([base, "completely different words entirely"]),
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": pa.array([10, 11], pa.int64()),
+            "text": pa.array([base.replace("today", "tonight"), "nothing shared at all"]),
+        }
+    )
+    old_ds, new_ds = ray.data.from_arrow(old), ray.data.from_arrow(new)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        band_signatures(old_ds).write_parquet(d)
+        stored = ray.data.read_parquet(d)
+        via_stored = dedup_incremental_minhash(
+            new_ds, old_ds, existing_bands=stored
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    inline = dedup_incremental_minhash(new_ds, old_ds).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    assert via_stored.equals(inline)
+    assert list(via_stored["is_near_duplicate"]) == [True, False]
