@@ -1905,6 +1905,77 @@ LEFT JOIN (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 3 = 0) e
 """
 
 
+def q_gopher_full(sf_dir: str) -> ray.data.Dataset:
+    """The rest of Gopher's repetition family: top-{2,3,4}-gram char
+    coverage and duplicate-{5,10}-gram char coverage (each character counted
+    once under overlapping duplicated windows) — stages/text_stats.
+    gopher_coverage, one Arrow split + vectorized pandas groupbys +
+    difference-array coverage masks per batch."""
+    if _empty(sf_dir, "documents"):
+        return ray.data.from_arrow(_empty_result(
+            doc_id=pa.int64(),
+            top_2gram_char_frac=pa.float64(), top_3gram_char_frac=pa.float64(),
+            top_4gram_char_frac=pa.float64(),
+            dup_5gram_char_frac=pa.float64(), dup_10gram_char_frac=pa.float64()))
+    docs = _t(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(ts.gopher_coverage, batch_format="pyarrow")
+
+
+def _gopher_full_sql(top_ns=(2, 3, 4), dup_ns=(5, 10)) -> str:
+    """Relational rebuild of gopher_coverage: per n, the top gram's
+    count×length coverage (ties by gram asc) and the once-counted char mass
+    of tokens under within-doc-duplicated n-windows."""
+    ctes = [r"""toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t,
+         greatest(length(text), 1) AS dn
+  FROM documents
+)"""]
+    selects = ["x.doc_id"]
+    joins = []
+    for n in top_ns:
+        ctes.append(f"""w{n} AS (
+  SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
+        FROM toks WHERE len(t) >= {n})
+),
+top{n} AS (
+  SELECT doc_id, c * length(g) AS cover
+  FROM (SELECT doc_id, g, count(*) AS c FROM w{n} GROUP BY doc_id, g)
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1
+)""")
+        joins.append(f"LEFT JOIN top{n} ON x.doc_id = top{n}.doc_id")
+        selects.append(
+            f"round(COALESCE(top{n}.cover, 0)::DOUBLE / x.dn, 6) AS top_{n}gram_char_frac"
+        )
+    for n in dup_ns:
+        ctes.append(f"""wp{n} AS (
+  SELECT doc_id, i, array_to_string(t[i:i+{n - 1}], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {n - 1})) AS i
+        FROM toks WHERE len(t) >= {n})
+),
+dg{n} AS (SELECT doc_id, g FROM wp{n} GROUP BY doc_id, g HAVING count(*) >= 2),
+cov{n} AS (
+  SELECT DISTINCT w.doc_id, unnest(generate_series(w.i, w.i + {n - 1})) AS p
+  FROM wp{n} w JOIN dg{n} USING (doc_id, g)
+),
+dch{n} AS (
+  SELECT c.doc_id, sum(length(t.t[c.p])) AS ch
+  FROM cov{n} c JOIN toks t ON c.doc_id = t.doc_id
+  GROUP BY c.doc_id
+)""")
+        joins.append(f"LEFT JOIN dch{n} ON x.doc_id = dch{n}.doc_id")
+        selects.append(
+            f"round(COALESCE(dch{n}.ch, 0)::DOUBLE / x.dn, 6) AS dup_{n}gram_char_frac"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT " + ",\n       ".join(selects)
+        + "\nFROM toks x\n" + "\n".join(joins)
+    )
+
+
+Q_GOPHER_FULL_SQL = _gopher_full_sql()
+
+
 def q_chunk_tokens(sf_dir: str) -> ray.data.Dataset:
     """Token-window chunking with overlap (stages/chunks.chunk_by_tokens):
     64-token windows at stride 48 — the RAG/training splitter. Fully
@@ -3809,6 +3880,7 @@ def build_queries() -> dict:
         "q_chunk_tokens": q_chunk_tokens,
         "q_sketch_quantiles": q_sketch_quantiles,
         "q_gopher_quality": q_gopher_quality,
+        "q_gopher_full": q_gopher_full,
         "q_weighted_sample": q_weighted_sample,
         "q_normalize_text": q_normalize_text,
         # --- flagship pipelines ---
@@ -3949,6 +4021,7 @@ def build_oracle_sql() -> dict:
         "q_chunk_tokens": Q_CHUNK_TOKENS_SQL,
         "q_sketch_quantiles": Q_SKETCH_QUANTILES_SQL,
         "q_gopher_quality": Q_GOPHER_QUALITY_SQL,
+        "q_gopher_full": Q_GOPHER_FULL_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
         "q_dedup_semantic": Q_DEDUP_SEMANTIC_SQL,

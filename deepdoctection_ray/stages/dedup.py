@@ -1555,13 +1555,17 @@ def remove_duplicate_substrings(
             diff[np.minimum(p + window, offs[i + 1])] -= 1
         covered = np.cumsum(diff[:-1]) > 0
         if total:
-            # reduceat gotcha: a repeated index (zero-length row) yields the
-            # element AT the index, not 0 — masked right after
-            removed = np.add.reduceat(covered.astype(np.int64), offs[:-1])
+            # reduceat gotchas: a repeated index (zero-length row) yields the
+            # element AT the index, and index == len raises (trailing empty
+            # row) — clip, then zero the empty rows right after
+            ridx = np.minimum(offs[:-1], total - 1)
+            removed = np.add.reduceat(covered.astype(np.int64), ridx)
             removed[lens == 0] = 0
         keep = ~covered
         kept_counts = (
-            np.add.reduceat(keep.astype(np.int64), offs[:-1]) if total else np.zeros(len(batch), np.int64)
+            np.add.reduceat(keep.astype(np.int64), np.minimum(offs[:-1], total - 1))
+            if total
+            else np.zeros(len(batch), np.int64)
         )
         kept_counts[lens == 0] = 0
         lists = pa.ListArray.from_arrays(

@@ -641,3 +641,98 @@ def gopher_repetition(batch: pa.Table, text_column: str = "text", id_column: str
             ),
         }
     )
+
+
+def gopher_coverage(
+    batch: pa.Table,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 10),
+) -> pa.Table:
+    """The REST of Gopher's repetition family (Rae et al. 2021 §A1.1),
+    complementing :func:`gopher_repetition`:
+
+    - ``top_{n}gram_char_frac`` (n ∈ ``top_ns``): characters covered by the
+      single most frequent word n-gram (count × gram length / doc length),
+      ties by lexicographically smallest gram;
+    - ``dup_{n}gram_char_frac`` (n ∈ ``dup_ns``): characters of tokens lying
+      under ANY within-doc-duplicated n-gram window, each character counted
+      ONCE (the paper's "not counting overlapping n-grams twice"), over the
+      doc length.
+
+    One Arrow split per batch; per-n work is a vectorized pandas groupby over
+    (row, gram) plus a difference-array coverage mask — no per-row Python.
+    """
+    import pandas as pd
+
+    from ..kernels.grams import split_tokens
+
+    col = batch[text_column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    nrows = len(batch)
+    denom = np.maximum(
+        pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.float64), 1.0
+    )
+    flat, lens, offs = split_tokens(col)
+    tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(offs[-1])
+
+    def _round6(x: np.ndarray) -> np.ndarray:
+        return np.floor(x * 1e6 + 0.5) / 1e6  # DuckDB half-away rounding
+
+    def windows(n: int):
+        """(row_idx, start_flat_pos, gram_string) for all n-windows."""
+        n_win = np.maximum(lens - n + 1, 0)
+        starts = np.repeat(offs[:-1], n_win) + (
+            np.arange(int(n_win.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(n_win) - n_win, n_win)
+        )
+        row_idx = np.repeat(np.arange(nrows, dtype=np.int64), n_win)
+        if starts.size == 0:
+            return row_idx, starts, None
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.arange(starts.size + 1, dtype=np.int64) * n, pa.int64()).cast(pa.int32()),
+            flat.take(pa.array((starts[:, None] + np.arange(n)[None, :]).reshape(-1), pa.int64())),
+        )
+        return row_idx, starts, pc.binary_join(lists, " ")
+
+    out: dict[str, pa.Array] = {id_column: batch[id_column]}
+    for n in top_ns:
+        frac = np.zeros(nrows)
+        row_idx, _starts, grams = windows(n)
+        if grams is not None:
+            gdf = pd.DataFrame({"row": row_idx, "g": grams.to_pandas()})
+            gc_ = gdf.groupby(["row", "g"], sort=False).size().reset_index(name="c")
+            gc_ = gc_.sort_values(["row", "c", "g"], ascending=[True, False, True])
+            top = gc_.drop_duplicates("row", keep="first")
+            cover = top["c"].to_numpy() * top["g"].str.len().to_numpy()
+            frac[top["row"].to_numpy()] = cover / denom[top["row"].to_numpy()]
+        out[f"top_{n}gram_char_frac"] = pa.array(_round6(frac), pa.float64())
+    for n in dup_ns:
+        frac = np.zeros(nrows)
+        row_idx, starts, grams = windows(n)
+        if grams is not None:
+            gdf = pd.DataFrame({"row": row_idx, "g": grams.to_pandas(), "s": starts})
+            cnt = gdf.groupby(["row", "g"], sort=False)["s"].transform("size")
+            dup = gdf[cnt > 1]
+            diff = np.zeros(total + 1, np.int64)
+            ds_ = dup["s"].to_numpy()
+            np.add.at(diff, ds_, 1)
+            # windows never cross their row (starts come from in-row ranges)
+            np.add.at(diff, ds_ + n, -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            cov_chars = np.zeros(nrows)
+            if total:
+                contrib = np.where(covered, tok_lens, 0)
+                # reduceat rejects index == len (trailing empty row): clip,
+                # then zero the empty rows the clipped index mis-summed
+                cov_chars = np.add.reduceat(
+                    contrib, np.minimum(offs[:-1], total - 1)
+                ).astype(np.float64)
+                cov_chars[lens == 0] = 0.0
+            frac = cov_chars / denom
+        out[f"dup_{n}gram_char_frac"] = pa.array(_round6(frac), pa.float64())
+    return pa.table(out)

@@ -611,3 +611,35 @@ def test_chunk_by_tokens_windows(ray_session):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_by_tokens(ray.data.from_arrow(t), max_tokens=4, overlap=4)
+
+
+def test_gopher_coverage_extended_rules():
+    from deepdoctection_ray.stages.text_stats import gopher_coverage
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e a b c d e x y z",  # within-doc 5-gram repeat
+                    "unique words only here now really",
+                    "",
+                ]
+            ),
+        }
+    )
+    out = gopher_coverage(t).to_pydict()
+    # 'a b c d e' x2 covers 10 single-char tokens of a 25-char doc — each
+    # covered character counted ONCE despite 2 overlapping-window families
+    assert out["dup_5gram_char_frac"][0] == 0.4
+    assert out["dup_5gram_char_frac"][1] == 0.0
+    # top 2-gram 'a b' (3 chars) occurs twice: 6/25
+    assert out["top_2gram_char_frac"][0] == 0.24
+    # monotone: longer top-gram coverage grows on this repetitive doc
+    assert (
+        out["top_2gram_char_frac"][0]
+        < out["top_3gram_char_frac"][0]
+        < out["top_4gram_char_frac"][0]
+    )
+    # empty doc: all zeros
+    assert all(out[c][2] == 0.0 for c in out if c != "doc_id")
