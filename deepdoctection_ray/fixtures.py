@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 FIXTURE_DIR = "/tmp/ddray_fixtures"
-_VERSION = 17
+_VERSION = 18
 
 TRANSCRIPTS_DIR = "/tmp/ddray_transcripts_small"
 N_CONVS, SEED, HOT = 60, 42, 10
@@ -160,6 +160,7 @@ def ensure_fixtures() -> str:
         make_entity_docs,
         make_layout_docs,
         make_link_docs,
+        make_image_dedup_corpus,
         make_media_audio_corpus,
         make_media_image_corpus,
         make_pdf_corpus,
@@ -210,6 +211,9 @@ def ensure_fixtures() -> str:
     media_aud, golden_aud = make_media_audio_corpus(40, seed=SEED)
     pq.write_table(media_aud, path("media_audio"))
     pq.write_table(golden_aud, path("golden_audio_features"))
+    media_dd, golden_pairs = make_image_dedup_corpus(24, seed=SEED)
+    pq.write_table(media_dd, path("media_dedup_images"))
+    pq.write_table(golden_pairs, path("golden_image_pairs"))
     pq.write_table(make_deskew_docs(100, seed=SEED), path("deskew_docs"))
     pq.write_table(make_entity_docs(400, seed=SEED), path("entity_docs"))
     link_docs, link_truth = make_link_docs(N_LINKS, seed=SEED)

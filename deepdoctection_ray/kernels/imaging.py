@@ -257,3 +257,23 @@ def rotate_image(img: np.ndarray, angle: int) -> np.ndarray:
     if angle % 90 != 0:
         raise ValueError(f"only right angles supported, got {angle}")
     return np.rot90(img, k=(angle // 90) % 4)
+
+
+def dhash(img: "np.ndarray", hash_size: int = 8) -> int:
+    """Difference hash (dHash, Krawetz 2013 — the standard perceptual image
+    fingerprint): grayscale → nearest-neighbor resize to (hash_size+1) ×
+    hash_size → horizontal-gradient sign bits, row-major MSB-first. Robust
+    to re-encoding and small noise; Hamming distance ≈ visual difference.
+    Deterministic (integer mean grayscale + nearest resize — no float
+    filtering), so the golden fixture recomputes it bit-exactly."""
+    g = to_grayscale(img) if img.ndim == 3 else img
+    small = resize_nearest(g, hash_size + 1, hash_size).astype(np.int32)
+    bits = (small[:, 1:] > small[:, :-1]).reshape(-1)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")

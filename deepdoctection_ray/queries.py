@@ -1905,6 +1905,28 @@ LEFT JOIN (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 3 = 0) e
 """
 
 
+def q_dedup_images(sf_dir: str) -> ray.data.Dataset:
+    """Near-duplicate IMAGE pairs from real pixels: actor-pool decode (any
+    native codec) → 64-bit dHash → 8×8-bit banded Hamming match, EXACT at
+    threshold 7 by the multi-index pigeonhole (≤7 differing bits cannot
+    touch all 8 bands), per-bucket vectorized popcount verify. The oracle is
+    the single-threaded brute-force all-pairs scan computed at fixture time
+    over the same payloads — exact equality, not containment."""
+    from . import fixtures
+    from .stages.multimodal import dedup_images
+
+    fixtures.ensure_fixtures()
+    media = ray.data.read_parquet(fixtures.path("media_dedup_images"))
+    return dedup_images(media, "payload", "media_id", threshold=7)
+
+
+Q_DEDUP_IMAGES_SQL = """
+-- single-threaded brute-force dHash pair truth over the same payloads
+SELECT id_a, id_b, hamming
+FROM read_parquet('/tmp/ddray_fixtures/golden_image_pairs.parquet')
+"""
+
+
 def q_gopher_full(sf_dir: str) -> ray.data.Dataset:
     """The rest of Gopher's repetition family: top-{2,3,4}-gram char
     coverage and duplicate-{5,10}-gram char coverage (each character counted
@@ -3881,6 +3903,7 @@ def build_queries() -> dict:
         "q_sketch_quantiles": q_sketch_quantiles,
         "q_gopher_quality": q_gopher_quality,
         "q_gopher_full": q_gopher_full,
+        "q_dedup_images": q_dedup_images,
         "q_weighted_sample": q_weighted_sample,
         "q_normalize_text": q_normalize_text,
         # --- flagship pipelines ---
@@ -4022,6 +4045,7 @@ def build_oracle_sql() -> dict:
         "q_sketch_quantiles": Q_SKETCH_QUANTILES_SQL,
         "q_gopher_quality": Q_GOPHER_QUALITY_SQL,
         "q_gopher_full": Q_GOPHER_FULL_SQL,
+        "q_dedup_images": Q_DEDUP_IMAGES_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
         "q_dedup_semantic": Q_DEDUP_SEMANTIC_SQL,

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_META_TYPE = pa.struct(
     [
@@ -216,3 +217,119 @@ class FrameSampler:
                 "checksum": pa.array(checksums, pa.int64()),
             }
         )
+
+
+class ImageDHasher:
+    """Actor-pool stage: decode payload (any native codec) → 64-bit dHash.
+    The perceptual-fingerprint analog of the text content hash — binary
+    payloads never leave this stage, only ``(id, dhash)`` rows do."""
+
+    def __init__(self, payload_column: str = "payload", id_column: str = "media_id") -> None:
+        self._payload = payload_column
+        self._id = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.imaging import decode_image, dhash
+
+        hashes = [
+            # int64 view of the uint64 hash (Arrow-friendly; XOR is sign-safe)
+            np.uint64(dhash(decode_image(p))).astype(np.int64)
+            for p in batch[self._payload].to_pylist()
+        ]
+        return pa.table(
+            {
+                self._id: batch[self._id],
+                "dhash": pa.array(np.asarray(hashes, np.int64), pa.int64()),
+            }
+        )
+
+
+def _hamming64_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount(a ^ b) over int64 arrays."""
+    x = (a.astype(np.int64) ^ b.astype(np.int64)).view(np.uint8)
+    return np.unpackbits(x).reshape(-1, 64).sum(axis=1).astype(np.int64)
+
+
+def dedup_images(
+    ds: ray.data.Dataset,
+    payload_column: str = "payload",
+    id_column: str = "media_id",
+    threshold: int = 7,
+    max_bucket: int = 256,
+) -> ray.data.Dataset:
+    """Near-duplicate IMAGE pairs: real pixel decode → dHash → banded
+    Hamming match, EXACT at the chosen threshold.
+
+    Multi-index-hashing guarantee (Norouzi et al. 2012 pigeonhole): the
+    64-bit hash splits into 8 disjoint 8-bit bands; two hashes within
+    Hamming distance ≤ 7 cannot differ in all 8 bands, so at least one band
+    collides and the pair is generated — banding is LOSSLESS pruning at
+    threshold ≤ 7, and the per-bucket exact Hamming verify removes every
+    false positive. Result equals brute force exactly (the oracle's
+    construction). Returns ``(id_a, id_b, hamming)``, id_a < id_b.
+    """
+    import pandas as pd
+
+    from .dedup import _dedup_pair_rows, _grouped_collisions, _report_truncation
+
+    hashes = ds.map_batches(
+        ImageDHasher, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs=dict(payload_column=payload_column, id_column=id_column),
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        h = batch["dhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = h.shape[0]
+        bands = np.repeat(np.arange(8, dtype=np.int32)[None, :], n, axis=0).reshape(-1)
+        keys = ((h[:, None].view(np.uint64) >> (np.arange(8, dtype=np.uint64) * np.uint64(8)))
+                & np.uint64(0xFF)).astype(np.int64).reshape(-1)
+        idx = np.repeat(np.arange(n, dtype=np.int64), 8)
+        return pa.table(
+            {
+                "band": pa.array(bands, pa.int32()),
+                "band_key": pa.array(keys, pa.int64()),
+                id_column: pc.take(batch[id_column], pa.array(idx, pa.int64())),
+                "dhash": pa.array(h[idx], pa.int64()),
+            }
+        )
+
+    banded = hashes.map_batches(band_rows, batch_format="pyarrow")
+
+    def emit_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        sizes = g.groupby(["band", "band_key"])[id_column].transform("size")
+        coll = g[sizes > 1]
+        a_out, b_out, h_out = [], [], []
+        trunc_b = trunc_r = 0
+        for _, sub in coll.groupby(["band", "band_key"], sort=False):
+            sub = sub.drop_duplicates(id_column).sort_values(id_column)
+            if len(sub) > max_bucket:
+                trunc_b += 1
+                trunc_r += len(sub) - max_bucket
+                sub = sub.iloc[:max_bucket]
+            ids = sub[id_column].to_numpy()
+            hs = sub["dhash"].to_numpy()
+            n = len(ids)
+            if n < 2:
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            ham = _hamming64_vec(hs[ia], hs[ib])
+            keep = ham <= threshold
+            a_out.append(ids[ia[keep]])
+            b_out.append(ids[ib[keep]])
+            h_out.append(ham[keep])
+        if trunc_b:
+            _report_truncation("image_dhash", trunc_b, trunc_r)
+        if not a_out:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=g[id_column].dtype),
+                                 "id_b": pd.Series([], dtype=g[id_column].dtype),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(a_out),
+                "id_b": np.concatenate(b_out),
+                "hamming": np.concatenate(h_out),
+            }
+        ).drop_duplicates(["id_a", "id_b"])
+
+    pairs = _grouped_collisions(banded, ["band", "band_key"], emit_bucket)
+    return _dedup_pair_rows(pairs)

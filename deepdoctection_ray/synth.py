@@ -1053,3 +1053,68 @@ def oracle_extract(table: pa.Table) -> list[dict]:
         res = extract_turn(text)
         out.append({"conv_id": cid, "turn_idx": tix, **res})
     return out
+
+
+def make_image_dedup_corpus(n_base: int = 24, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+    """Near-duplicate IMAGE corpus + brute-force golden pairs.
+
+    Each base image (smooth gradients — dHash's intended regime) gets 0-2
+    near-dup variants: a lossless re-encode in another codec (distance 0),
+    a baseline-JPEG re-encode (small distance) or mild additive noise.
+    Golden truth is the SINGLE-THREADED brute-force all-pairs dHash Hamming
+    scan at threshold 7 over the same payloads — banding in the distributed
+    path is pigeonhole-lossless at that threshold, so the oracle checks
+    exact equality, not containment."""
+    import numpy as _np
+
+    from .kernels.imaging import decode_image, dhash, encode_bmp, encode_ppm, hamming64
+    from .kernels.jpeg import encode_jpeg
+    from .kernels.png import encode_png
+
+    rng = _np.random.RandomState(seed)
+    payloads: list[bytes] = []
+    for i in range(n_base):
+        h, w = int(rng.randint(24, 48)), int(rng.randint(24, 48))
+        gx = _np.linspace(0, rng.uniform(2, 8), w)
+        gy = _np.linspace(0, rng.uniform(2, 8), h)
+        base = (
+            (_np.sin(gy)[:, None] * _np.cos(gx)[None, :] + 1.0) * 110.0
+            + rng.uniform(0, 30)
+        ).astype(_np.uint8)
+        img = _np.stack([base, 255 - base, base.T[:h, :w] if base.T.shape == (h, w) else base], 2)
+        encs = [encode_bmp, encode_png, encode_ppm]
+        payloads.append(encs[i % 3](img))
+        for v in range(int(rng.randint(0, 3))):
+            kind = rng.randint(0, 3)
+            if kind == 0:  # lossless re-encode, distance 0
+                payloads.append(encs[(i + 1 + v) % 3](img))
+            elif kind == 1:  # JPEG re-encode, small distance
+                payloads.append(encode_jpeg(img, quality=90))
+            else:  # mild noise
+                noisy = _np.clip(
+                    img.astype(int) + rng.randint(-3, 4, img.shape), 0, 255
+                ).astype(_np.uint8)
+                payloads.append(encs[i % 3](noisy))
+    media = pa.table(
+        {
+            "media_id": pa.array(range(len(payloads)), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    hashes = [dhash(decode_image(p)) for p in payloads]  # single-threaded golden
+    ga, gb, gh = [], [], []
+    for a in range(len(hashes)):
+        for b in range(a + 1, len(hashes)):
+            d = hamming64(hashes[a], hashes[b])
+            if d <= 7:
+                ga.append(a)
+                gb.append(b)
+                gh.append(d)
+    golden = pa.table(
+        {
+            "id_a": pa.array(ga, pa.int64()),
+            "id_b": pa.array(gb, pa.int64()),
+            "hamming": pa.array(gh, pa.int64()),
+        }
+    )
+    return media, golden

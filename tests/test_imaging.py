@@ -744,3 +744,44 @@ def test_progressive_ac_refinement_hand_built_stream():
     want = np.clip(np.round(idct2(dq.reshape(8, 8)) + 128.0), 0, 255).astype(np.uint8)
     assert got.shape == (8, 8)
     assert (got == want).all()
+
+
+def test_dhash_robust_to_reencode_and_discriminative():
+    import numpy as np
+
+    from deepdoctection_ray.kernels.imaging import (
+        decode_image, dhash, encode_bmp, hamming64,
+    )
+    from deepdoctection_ray.kernels.jpeg import encode_jpeg
+    from deepdoctection_ray.kernels.png import encode_png
+
+    x = np.linspace(0, 2 * np.pi, 48)
+    img = ((np.sin(x)[:, None] * np.cos(x)[None, :]) * 100 + 128).astype(np.uint8)
+    img3 = np.stack([img] * 3, axis=2)
+    h_bmp = dhash(decode_image(encode_bmp(img3)))
+    assert dhash(decode_image(encode_png(img3))) == h_bmp  # lossless invariant
+    assert hamming64(h_bmp, dhash(decode_image(encode_jpeg(img3, quality=85)))) <= 7
+    other = np.random.RandomState(1).randint(0, 256, (48, 48, 3)).astype(np.uint8)
+    assert hamming64(h_bmp, dhash(other)) > 15
+
+
+def test_dedup_images_matches_bruteforce(ray_session):
+    import itertools
+
+    import numpy as np
+    import ray.data
+
+    from deepdoctection_ray.kernels.imaging import decode_image, dhash, hamming64
+    from deepdoctection_ray.stages.multimodal import dedup_images
+    from deepdoctection_ray.synth import make_image_dedup_corpus
+
+    media, golden = make_image_dedup_corpus(10, seed=3)
+    out = (
+        dedup_images(ray.data.from_arrow(media), threshold=7)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    want = golden.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert out.equals(want), (len(out), len(want))
+    assert len(want) > 0  # the fixture actually plants near-dups
