@@ -1905,6 +1905,45 @@ LEFT JOIN (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 3 = 0) e
 """
 
 
+def q_mixture_plan(sf_dir: str) -> pa.Table:
+    """Training-mixture token-budget allocation per source (deterministic
+    largest-remainder apportionment over one streaming token-count pass;
+    Σ alloc == budget exactly)."""
+    if _empty(sf_dir, "documents"):
+        return _empty_result(
+            source=pa.string(), n_tokens=pa.int64(),
+            share=pa.float64(), alloc_tokens=pa.int64())
+    docs = _t(sf_dir, "documents", columns=["source", "text"])
+    return ts.mixture_plan(docs, budget_tokens=1_000_000)
+
+
+Q_MIXTURE_PLAN_SQL = r"""
+-- Hamilton apportionment of a 1M-token budget across sources, rebuilt with
+-- window functions: floor shares, then +1 to the largest remainders
+-- (ties by source asc)
+WITH s AS (
+  SELECT source,
+         sum(len(regexp_extract_all(text, '[A-Za-z0-9]+')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS t FROM s),
+base AS (
+  SELECT source, n_tokens,
+         round(n_tokens / t, 6) AS share,
+         CAST(floor(1000000 * n_tokens / t) AS BIGINT) AS fl,
+         1000000 * n_tokens / t - floor(1000000 * n_tokens / t) AS frac
+  FROM s, tot
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY frac DESC, source ASC) AS rk FROM base
+),
+rem AS (SELECT 1000000 - sum(fl) AS r FROM base)
+SELECT source, n_tokens, share,
+       fl + CASE WHEN rk <= rem.r THEN 1 ELSE 0 END AS alloc_tokens
+FROM ranked, rem
+"""
+
+
 def q_dedup_images(sf_dir: str) -> ray.data.Dataset:
     """Near-duplicate IMAGE pairs from real pixels: actor-pool decode (any
     native codec) → 64-bit dHash → 8×8-bit banded Hamming match, EXACT at
@@ -3904,6 +3943,7 @@ def build_queries() -> dict:
         "q_gopher_quality": q_gopher_quality,
         "q_gopher_full": q_gopher_full,
         "q_dedup_images": q_dedup_images,
+        "q_mixture_plan": q_mixture_plan,
         "q_weighted_sample": q_weighted_sample,
         "q_normalize_text": q_normalize_text,
         # --- flagship pipelines ---
@@ -4046,6 +4086,7 @@ def build_oracle_sql() -> dict:
         "q_gopher_quality": Q_GOPHER_QUALITY_SQL,
         "q_gopher_full": Q_GOPHER_FULL_SQL,
         "q_dedup_images": Q_DEDUP_IMAGES_SQL,
+        "q_mixture_plan": Q_MIXTURE_PLAN_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         "q_normalize_text": Q_NORMALIZE_TEXT_SQL,
         "q_dedup_semantic": Q_DEDUP_SEMANTIC_SQL,

@@ -736,3 +736,61 @@ def gopher_coverage(
             frac = cov_chars / denom
         out[f"dup_{n}gram_char_frac"] = pa.array(_round6(frac), pa.float64())
     return pa.table(out)
+
+
+def mixture_plan(
+    ds: "ray.data.Dataset",
+    budget_tokens: int,
+    source_column: str = "source",
+    text_column: str = "text",
+) -> pa.Table:
+    """Training-mixture allocation: split a token ``budget`` across sources
+    proportionally to their corpus token mass, by the deterministic
+    largest-remainder (Hamilton) method — Σ alloc == budget exactly, ties by
+    source ascending.
+
+    One streaming pass emits per-batch ``(source, tokens)`` partials; the
+    per-source table is dimension-sized, so the apportionment runs on the
+    driver (the broadcast-lookup pattern). Returns
+    ``(source, n_tokens, share, alloc_tokens)``.
+    """
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(batch[text_column], TOKEN_RE), pa.int64())
+        t = pa.table({source_column: batch[source_column], "n": toks})
+        g = t.group_by(source_column).aggregate([("n", "sum")])
+        return pa.table({source_column: g[source_column], "n_tokens": g["n_sum"]})
+
+    rows = ds.map_batches(partials, batch_format="pyarrow", batch_size=None).take_all()
+    agg: dict = {}
+    for r in rows:
+        agg[r[source_column]] = agg.get(r[source_column], 0) + int(r["n_tokens"])
+    sources = sorted(agg)
+    n = np.array([agg[s] for s in sources], np.float64)
+    total = n.sum()
+    if total == 0 or not sources:
+        return pa.table(
+            {
+                source_column: pa.array(sources, pa.string()),
+                "n_tokens": pa.array([0] * len(sources), pa.int64()),
+                "share": pa.array([0.0] * len(sources), pa.float64()),
+                "alloc_tokens": pa.array([0] * len(sources), pa.int64()),
+            }
+        )
+    exact = budget_tokens * n / total
+    fl = np.floor(exact)
+    frac = exact - fl
+    remaining = int(budget_tokens - fl.sum())
+    # largest remainder, ties by source ascending (sources[] is sorted, and
+    # argsort is stable, so equal fracs keep ascending source order)
+    order = np.argsort(-frac, kind="stable")
+    bump = np.zeros(len(sources), np.int64)
+    bump[order[:remaining]] = 1
+    share = np.floor((n / total) * 1e6 + 0.5) / 1e6  # DuckDB half-away round
+    return pa.table(
+        {
+            source_column: pa.array(sources, pa.string()),
+            "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
+            "share": pa.array(share, pa.float64()),
+            "alloc_tokens": pa.array(fl.astype(np.int64) + bump, pa.int64()),
+        }
+    )

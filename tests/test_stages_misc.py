@@ -643,3 +643,24 @@ def test_gopher_coverage_extended_rules():
     )
     # empty doc: all zeros
     assert all(out[c][2] == 0.0 for c in out if c != "doc_id")
+
+
+def test_mixture_plan_exact_apportionment(ray_session):
+    import ray.data
+
+    from deepdoctection_ray.stages.text_stats import mixture_plan
+
+    t = pa.table(
+        {
+            "source": pa.array(["a"] * 3 + ["b"] * 2 + ["c"]),
+            "text": pa.array(
+                ["one two three", "four five", "six", "seven eight nine ten", "x", "y z"]
+            ),
+        }
+    )
+    out = mixture_plan(ray.data.from_arrow(t).repartition(3), budget_tokens=100).to_pandas()
+    # a: 6 tokens, b: 5, c: 2 → exact shares 46.15/38.46/15.38 of 100
+    assert out["alloc_tokens"].sum() == 100  # Hamilton: budget spent exactly
+    assert list(out["source"]) == ["a", "b", "c"]
+    assert list(out["n_tokens"]) == [6, 5, 2]
+    assert list(out["alloc_tokens"]) == [46, 39, 15]  # b wins the remainder (.46 vs .15)
