@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 FIXTURE_DIR = "/tmp/ddray_fixtures"
-_VERSION = 18
+_VERSION = 19
 
 TRANSCRIPTS_DIR = "/tmp/ddray_transcripts_small"
 N_CONVS, SEED, HOT = 60, 42, 10
@@ -160,6 +160,7 @@ def ensure_fixtures() -> str:
         make_entity_docs,
         make_layout_docs,
         make_link_docs,
+        make_audio_dedup_corpus,
         make_image_dedup_corpus,
         make_media_audio_corpus,
         make_media_image_corpus,
@@ -214,6 +215,9 @@ def ensure_fixtures() -> str:
     media_dd, golden_pairs = make_image_dedup_corpus(24, seed=SEED)
     pq.write_table(media_dd, path("media_dedup_images"))
     pq.write_table(golden_pairs, path("golden_image_pairs"))
+    media_ad, golden_apairs = make_audio_dedup_corpus(20, seed=SEED)
+    pq.write_table(media_ad, path("media_dedup_audio"))
+    pq.write_table(golden_apairs, path("golden_audio_pairs"))
     pq.write_table(make_deskew_docs(100, seed=SEED), path("deskew_docs"))
     pq.write_table(make_entity_docs(400, seed=SEED), path("entity_docs"))
     link_docs, link_truth = make_link_docs(N_LINKS, seed=SEED)

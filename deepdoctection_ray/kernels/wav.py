@@ -358,3 +358,27 @@ def encode_wav_ima_adpcm(samples: np.ndarray, rate: int, block_align: int = 256)
     if len(body) & 1:
         chunks += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def audio_fingerprint(samples: np.ndarray, rate: int) -> int:
+    """64-bit energy-delta audio fingerprint (the dHash idea in the time
+    domain): mono mixdown → deterministic linear resample to 4 kHz → 65
+    equal frames → RMS energy ladder → sign bits of consecutive-frame energy
+    differences, MSB-first. Robust to codec requantization (G.711/ADPCM
+    perturb energies ~0.5%, flipping only near-tie comparisons); unrelated
+    clips differ in ~half the bits."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples.astype(np.float64)
+    if mono.shape[0] == 0:
+        return 0
+    mono = resample_linear(mono[:, None], rate, 4000)[:, 0]
+    n = mono.shape[0]
+    edges = np.linspace(0, n, 66).astype(np.int64)
+    energies = np.empty(65, np.float64)
+    for i in range(65):
+        seg = mono[edges[i] : max(edges[i + 1], edges[i] + 1)]
+        energies[i] = float(np.sqrt((seg**2).mean())) if seg.size else 0.0
+    bits = energies[1:] > energies[:-1]
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out

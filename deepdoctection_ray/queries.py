@@ -1905,6 +1905,27 @@ LEFT JOIN (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id % 3 = 0) e
 """
 
 
+def q_dedup_audio(sf_dir: str) -> ray.data.Dataset:
+    """Near-duplicate AUDIO pairs from real samples: actor-pool WAV decode
+    (PCM/G.711/ADPCM) → 64-bit energy-delta fingerprint → the same
+    multi-index banded Hamming matcher as q_dedup_images (EXACT at
+    threshold 7). Oracle = single-threaded brute-force pair truth over the
+    same payloads."""
+    from . import fixtures
+    from .stages.multimodal import dedup_audio
+
+    fixtures.ensure_fixtures()
+    media = ray.data.read_parquet(fixtures.path("media_dedup_audio"))
+    return dedup_audio(media, "payload", "media_id", threshold=7)
+
+
+Q_DEDUP_AUDIO_SQL = """
+-- single-threaded brute-force fingerprint pair truth over the same payloads
+SELECT id_a, id_b, hamming
+FROM read_parquet('/tmp/ddray_fixtures/golden_audio_pairs.parquet')
+"""
+
+
 def q_mixture_plan(sf_dir: str) -> pa.Table:
     """Training-mixture token-budget allocation per source (deterministic
     largest-remainder apportionment over one streaming token-count pass;
@@ -3943,6 +3964,7 @@ def build_queries() -> dict:
         "q_gopher_quality": q_gopher_quality,
         "q_gopher_full": q_gopher_full,
         "q_dedup_images": q_dedup_images,
+        "q_dedup_audio": q_dedup_audio,
         "q_mixture_plan": q_mixture_plan,
         "q_weighted_sample": q_weighted_sample,
         "q_normalize_text": q_normalize_text,
@@ -4086,6 +4108,7 @@ def build_oracle_sql() -> dict:
         "q_gopher_quality": Q_GOPHER_QUALITY_SQL,
         "q_gopher_full": Q_GOPHER_FULL_SQL,
         "q_dedup_images": Q_DEDUP_IMAGES_SQL,
+        "q_dedup_audio": Q_DEDUP_AUDIO_SQL,
         "q_mixture_plan": Q_MIXTURE_PLAN_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         "q_normalize_text": Q_NORMALIZE_TEXT_SQL,

@@ -250,35 +250,26 @@ def _hamming64_vec(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x).reshape(-1, 64).sum(axis=1).astype(np.int64)
 
 
-def dedup_images(
-    ds: ray.data.Dataset,
-    payload_column: str = "payload",
+def hamming_band_pairs(
+    hashes: ray.data.Dataset,
     id_column: str = "media_id",
+    hash_column: str = "dhash",
     threshold: int = 7,
     max_bucket: int = 256,
 ) -> ray.data.Dataset:
-    """Near-duplicate IMAGE pairs: real pixel decode → dHash → banded
-    Hamming match, EXACT at the chosen threshold.
-
-    Multi-index-hashing guarantee (Norouzi et al. 2012 pigeonhole): the
-    64-bit hash splits into 8 disjoint 8-bit bands; two hashes within
-    Hamming distance ≤ 7 cannot differ in all 8 bands, so at least one band
-    collides and the pair is generated — banding is LOSSLESS pruning at
-    threshold ≤ 7, and the per-bucket exact Hamming verify removes every
-    false positive. Result equals brute force exactly (the oracle's
-    construction). Returns ``(id_a, id_b, hamming)``, id_a < id_b.
-    """
+    """Exact Hamming-≤``threshold`` pairs over a 64-bit hash column via
+    multi-index banding (Norouzi et al. 2012): the hash splits into 8
+    disjoint 8-bit bands; two hashes within distance ≤ 7 cannot differ in
+    all 8 bands, so at least one band collides — banding is LOSSLESS pruning
+    at threshold ≤ 7, and the per-bucket vectorized popcount verify removes
+    every false positive. Shared by the image and audio near-dup operators.
+    Returns ``(id_a, id_b, hamming)``, id_a < id_b."""
     import pandas as pd
 
     from .dedup import _dedup_pair_rows, _grouped_collisions, _report_truncation
 
-    hashes = ds.map_batches(
-        ImageDHasher, batch_format="pyarrow", concurrency=(1, 4),
-        fn_constructor_kwargs=dict(payload_column=payload_column, id_column=id_column),
-    )
-
     def band_rows(batch: pa.Table) -> pa.Table:
-        h = batch["dhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = batch[hash_column].to_numpy(zero_copy_only=False).astype(np.int64)
         n = h.shape[0]
         bands = np.repeat(np.arange(8, dtype=np.int32)[None, :], n, axis=0).reshape(-1)
         keys = ((h[:, None].view(np.uint64) >> (np.arange(8, dtype=np.uint64) * np.uint64(8)))
@@ -289,7 +280,7 @@ def dedup_images(
                 "band": pa.array(bands, pa.int32()),
                 "band_key": pa.array(keys, pa.int64()),
                 id_column: pc.take(batch[id_column], pa.array(idx, pa.int64())),
-                "dhash": pa.array(h[idx], pa.int64()),
+                hash_column: pa.array(h[idx], pa.int64()),
             }
         )
 
@@ -307,7 +298,7 @@ def dedup_images(
                 trunc_r += len(sub) - max_bucket
                 sub = sub.iloc[:max_bucket]
             ids = sub[id_column].to_numpy()
-            hs = sub["dhash"].to_numpy()
+            hs = sub[hash_column].to_numpy()
             n = len(ids)
             if n < 2:
                 continue
@@ -318,7 +309,7 @@ def dedup_images(
             b_out.append(ids[ib[keep]])
             h_out.append(ham[keep])
         if trunc_b:
-            _report_truncation("image_dhash", trunc_b, trunc_r)
+            _report_truncation("hamming_bands", trunc_b, trunc_r)
         if not a_out:
             return pd.DataFrame({"id_a": pd.Series([], dtype=g[id_column].dtype),
                                  "id_b": pd.Series([], dtype=g[id_column].dtype),
@@ -333,3 +324,60 @@ def dedup_images(
 
     pairs = _grouped_collisions(banded, ["band", "band_key"], emit_bucket)
     return _dedup_pair_rows(pairs)
+
+
+def dedup_images(
+    ds: ray.data.Dataset,
+    payload_column: str = "payload",
+    id_column: str = "media_id",
+    threshold: int = 7,
+    max_bucket: int = 256,
+) -> ray.data.Dataset:
+    """Near-duplicate IMAGE pairs: real pixel decode → dHash →
+    :func:`hamming_band_pairs` (EXACT at threshold ≤ 7 by the multi-index
+    pigeonhole). Returns ``(id_a, id_b, hamming)``, id_a < id_b."""
+    hashes = ds.map_batches(
+        ImageDHasher, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs=dict(payload_column=payload_column, id_column=id_column),
+    )
+    return hamming_band_pairs(hashes, id_column, "dhash", threshold, max_bucket)
+
+
+class AudioFingerprinter:
+    """Actor-pool stage: WAV decode (any native codec) → 64-bit energy-delta
+    fingerprint (``kernels/wav.audio_fingerprint``)."""
+
+    def __init__(self, payload_column: str = "payload", id_column: str = "media_id") -> None:
+        self._payload = payload_column
+        self._id = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.wav import audio_fingerprint, decode_wav
+
+        hashes = [
+            np.uint64(audio_fingerprint(*decode_wav(p))).astype(np.int64)
+            for p in batch[self._payload].to_pylist()
+        ]
+        return pa.table(
+            {
+                self._id: batch[self._id],
+                "afp": pa.array(np.asarray(hashes, np.int64), pa.int64()),
+            }
+        )
+
+
+def dedup_audio(
+    ds: ray.data.Dataset,
+    payload_column: str = "payload",
+    id_column: str = "media_id",
+    threshold: int = 7,
+    max_bucket: int = 256,
+) -> ray.data.Dataset:
+    """Near-duplicate AUDIO pairs: real WAV decode → energy-delta
+    fingerprint → :func:`hamming_band_pairs` (EXACT at threshold ≤ 7 by the
+    multi-index pigeonhole — same matcher as :func:`dedup_images`)."""
+    hashes = ds.map_batches(
+        AudioFingerprinter, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs=dict(payload_column=payload_column, id_column=id_column),
+    )
+    return hamming_band_pairs(hashes, id_column, "afp", threshold, max_bucket)

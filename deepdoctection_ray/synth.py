@@ -1118,3 +1118,65 @@ def make_image_dedup_corpus(n_base: int = 24, seed: int = 42) -> tuple[pa.Table,
         }
     )
     return media, golden
+
+
+def make_audio_dedup_corpus(n_base: int = 20, seed: int = 42) -> tuple[pa.Table, pa.Table]:
+    """Near-duplicate AUDIO corpus + brute-force golden pairs (the audio
+    twin of :func:`make_image_dedup_corpus`): each base clip gets 0-2
+    variants — a G.711 or 8-bit-PCM re-encode (fingerprint distance ~0) or
+    an IMA ADPCM re-encode (small distance). Golden = single-threaded
+    all-pairs fingerprint Hamming at threshold 7 (pigeonhole-lossless in the
+    distributed path, so equality is exact)."""
+    import numpy as _np
+
+    from .kernels.imaging import hamming64
+    from .kernels.wav import (
+        audio_fingerprint,
+        decode_wav,
+        encode_wav,
+        encode_wav_g711,
+        encode_wav_ima_adpcm,
+    )
+
+    rng = _np.random.RandomState(seed)
+    payloads: list[bytes] = []
+    rate = 8000
+    for i in range(n_base):
+        n = int(rng.randint(rate // 2, rate))
+        t = _np.arange(n) / rate
+        env = 0.3 + 0.5 * _np.abs(_np.sin(2 * _np.pi * rng.uniform(1, 5) * t))
+        sig = env * _np.sin(2 * _np.pi * rng.uniform(150, 1500) * t)
+        payloads.append(encode_wav(sig, rate, bits=16))
+        for _v in range(int(rng.randint(0, 3))):
+            kind = rng.randint(0, 4)
+            if kind == 0:
+                payloads.append(encode_wav_g711(sig, rate, law="mu"))
+            elif kind == 1:
+                payloads.append(encode_wav_g711(sig, rate, law="a"))
+            elif kind == 2:
+                payloads.append(encode_wav(sig, rate, bits=8))
+            else:
+                payloads.append(encode_wav_ima_adpcm(sig, rate))
+    media = pa.table(
+        {
+            "media_id": pa.array(range(len(payloads)), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    fps = [audio_fingerprint(*decode_wav(p)) for p in payloads]
+    ga, gb, gh = [], [], []
+    for a in range(len(fps)):
+        for b in range(a + 1, len(fps)):
+            d = hamming64(fps[a], fps[b])
+            if d <= 7:
+                ga.append(a)
+                gb.append(b)
+                gh.append(d)
+    golden = pa.table(
+        {
+            "id_a": pa.array(ga, pa.int64()),
+            "id_b": pa.array(gb, pa.int64()),
+            "hamming": pa.array(gh, pa.int64()),
+        }
+    )
+    return media, golden

@@ -664,3 +664,21 @@ def test_mixture_plan_exact_apportionment(ray_session):
     assert list(out["source"]) == ["a", "b", "c"]
     assert list(out["n_tokens"]) == [6, 5, 2]
     assert list(out["alloc_tokens"]) == [46, 39, 15]  # b wins the remainder (.46 vs .15)
+
+
+def test_dedup_audio_matches_bruteforce(ray_session):
+    import ray.data
+
+    from deepdoctection_ray.stages.multimodal import dedup_audio
+    from deepdoctection_ray.synth import make_audio_dedup_corpus
+
+    media, golden = make_audio_dedup_corpus(8, seed=9)
+    out = (
+        dedup_audio(ray.data.from_arrow(media), threshold=7)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    want = golden.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert out.equals(want)
+    assert len(want) > 0
