@@ -10,14 +10,15 @@ and drops them around heavy stages (``maybe_load_image`` /
   ``map_batches`` stages with small ``batch_size`` (payloads are wide);
 - the binary column is projected away the moment the consuming stage is done.
 
-Codec status: BMP, PNG, GIF, baseline JPEG, TIFF (uncompressed / LZW /
-Deflate / PackBits), PPM/PGM images and WAV-PCM audio all decode NATIVELY
-(pure numpy codecs under ``kernels/``, incl. progressive JPEG and
-JPEG-in-TIFF);
-compressed audio (MP3/AAC) and video are not decodable without external
-libs and raise ``NotImplementedError`` unless ``fake=True`` (deterministic
-synthetic decode for plumbing tests). The Ray-side plumbing — schema, actor
-signature, batch sizing, output layout — is real and tested either way.
+Codec status: BMP, PNG, GIF, JPEG (baseline AND progressive), TIFF
+(uncompressed / LZW / Deflate / PackBits / JPEG-in-TIFF), PPM/PGM images
+and WAV audio (integer PCM, float32, G.711 µ-law/A-law, IMA ADPCM) all
+decode NATIVELY (pure numpy codecs under ``kernels/``); arithmetic-coded
+JPEG, perceptual audio (MP3/AAC/OGG) and video are not decodable without
+external libs and raise ``NotImplementedError`` unless ``fake=True``
+(deterministic synthetic decode for plumbing tests). The Ray-side plumbing
+— schema, actor signature, batch sizing, output layout — is real and
+tested either way.
 """
 
 from __future__ import annotations
@@ -57,9 +58,10 @@ def make_media_table(n: int, seed: int = 5, kind: str = "image") -> pa.Table:
 class ImageDecoder:
     """Actor-pool decode stage.
 
-    REAL decode path for BMP / PNG / GIF / baseline-JPEG / TIFF / binary
-    PPM / PGM payloads (pure-numpy codecs under ``kernels/`` — no external
-    libraries). Codec-less formats (arithmetic-coded JPEG, video) raise
+    REAL decode path for BMP / PNG / GIF / JPEG (baseline + progressive) /
+    TIFF (incl. JPEG-in-TIFF) / binary PPM / PGM payloads (pure-numpy codecs
+    under ``kernels/`` — no external libraries). Codec-less formats
+    (arithmetic-coded JPEG, video) raise
     ``NotImplementedError`` naming the format; ``fake=True`` keeps the
     deterministic synthetic decode (payload bytes reshaped via the meta
     struct) for plumbing tests.
@@ -90,8 +92,8 @@ class ImageDecoder:
         else:
             raise NotImplementedError(
                 f"no codec for {meta.get('mime', 'unknown')!r} in this environment "
-                "(BMP / PNG / binary PPM / PGM decode natively; JPEG/TIFF need "
-                "an external library — plug one in here)"
+                "(BMP / PNG / GIF / JPEG incl. progressive / TIFF / PPM / PGM "
+                "decode natively — plug an external lib in here for the rest)"
             )
         if self._resize:
             img = resize_nearest(img, *self._resize)
